@@ -1,0 +1,89 @@
+"""MDCT/IMDCT parity, TDAC perfect-reconstruction gates, window functions."""
+
+import numpy as np
+import pytest
+
+from conftest import snr_db
+from zaftpu import imdct, mdct
+from zaftpu.core.windows import kbd, kbd_exact, sine, vorbis
+
+WL = 2048
+
+
+@pytest.fixture(scope="module")
+def vorbis_window():
+    return vorbis(WL)
+
+
+def test_vorbis_window_formula(golden, vorbis_window):
+    np.testing.assert_allclose(vorbis_window, golden["vorbis_window"],
+                               atol=1e-15)
+
+
+def test_mdct_golden(golden, signal, vorbis_window):
+    mine = np.asarray(mdct(signal, vorbis_window))
+    assert mine.shape == golden["mdct"].shape
+    np.testing.assert_allclose(mine, golden["mdct"], atol=1e-12)
+
+
+def test_imdct_golden(golden, vorbis_window):
+    mine = np.asarray(imdct(golden["mdct"], vorbis_window))
+    assert mine.shape == golden["imdct"].shape
+    np.testing.assert_allclose(mine, golden["imdct"], atol=1e-12)
+
+
+def test_tdac_roundtrip_f64(signal, vorbis_window):
+    rec = np.asarray(imdct(mdct(signal, vorbis_window), vorbis_window))
+    # Reference measures 284 dB on its fixture (BASELINE.md); random/band-rich
+    # content sits a bit lower — gate at 250 dB.
+    assert snr_db(signal, rec) > 250.0
+
+
+def test_tdac_roundtrip_f32(signal, vorbis_window):
+    x32 = signal.astype(np.float32)
+    w32 = vorbis_window.astype(np.float32)
+    rec = np.asarray(imdct(mdct(x32, w32), w32))
+    assert rec.dtype == np.float32
+    assert snr_db(x32, rec) > 90.0
+
+
+@pytest.mark.parametrize("window_fn", [sine, lambda n: kbd_exact(n, 5.0)])
+def test_tdac_other_windows(signal, window_fn):
+    win = window_fn(512)
+    rec = np.asarray(imdct(mdct(signal, win), win))
+    assert snr_db(signal, rec) > 250.0
+
+
+def test_reference_kbd_parity_quirk(signal):
+    """The reference's KBD example window (zaf.py:1004-1010) is length WL-2
+    and does NOT reconstruct perfectly — the reference itself measures
+    ~44.6 dB. We reproduce that behavior exactly (and offer kbd_exact)."""
+    win = kbd(512, 5.0)
+    assert len(win) == 510
+    rec = np.asarray(imdct(mdct(signal, win), win))
+    assert 40.0 < snr_db(signal, rec) < 60.0
+
+
+def test_frame_count(signal, vorbis_window):
+    # T = ceil(N / (WL/2)) + 1 (reference zaf.py:1033).
+    t = int(np.ceil(len(signal) / (WL // 2))) + 1
+    assert mdct(signal, vorbis_window).shape == (WL // 2, t)
+
+
+def test_imdct_length(signal, vorbis_window):
+    coeffs = mdct(signal, vorbis_window)
+    f, t = coeffs.shape
+    # Output trimmed [F : -F-1]: length F*(T+1) - 2F - 1 (zaf.py:1182).
+    assert imdct(coeffs, vorbis_window).shape == (f * (t + 1) - 2 * f - 1,)
+
+
+def test_batched(signal, vorbis_window):
+    batch = np.stack([signal, np.roll(signal, 1234)])
+    coeffs = np.asarray(mdct(batch, vorbis_window))
+    for i in range(2):
+        np.testing.assert_allclose(
+            coeffs[i], np.asarray(mdct(batch[i], vorbis_window)), atol=1e-12)
+    rec = np.asarray(imdct(coeffs, vorbis_window))
+    for i in range(2):
+        np.testing.assert_allclose(
+            rec[i], np.asarray(imdct(coeffs[i], vorbis_window)), atol=1e-12)

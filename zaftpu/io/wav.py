@@ -1,0 +1,38 @@
+"""WAV file I/O.
+
+Same normalization contract as the reference (zaf.py:1187-1219): integer
+samples are scaled by ``2^(8*itemsize - 1)`` on read (int16 -> [-1, 1)); write
+passes data through unscaled, so float in -> float WAV out.
+
+A native C++ block reader (``zaftpu.io.native``) backs the streaming path for
+long recordings when available; this module is the portable front end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.io.wavfile
+
+
+def wavread(audio_file):
+    """Read a WAV file.
+
+    Input:
+        audio_file: path to the file
+    Outputs:
+        ``(audio_signal, sampling_frequency)`` — signal is float64
+        ``(number_samples, number_channels)`` normalized to [-1, 1) for
+        integer formats (reference zaf.py:1199-1202 contract).
+    """
+    sampling_frequency, audio_signal = scipy.io.wavfile.read(audio_file)
+    if np.issubdtype(audio_signal.dtype, np.integer):
+        audio_signal = audio_signal / float(2 ** (audio_signal.itemsize * 8 - 1))
+    else:
+        audio_signal = audio_signal.astype(np.float64)
+    return audio_signal, sampling_frequency
+
+
+def wavwrite(audio_signal, sampling_frequency, audio_file):
+    """Write a WAV file (no rescaling — reference zaf.py:1207-1219 contract)."""
+    scipy.io.wavfile.write(audio_file, int(sampling_frequency),
+                           np.asarray(audio_signal))

@@ -1,0 +1,271 @@
+"""Constant-Q transform: kernel, spectrogram, chromagram.
+
+The CQT kernel is a parameter-only precompute; it is built once on host in
+complex128 with construction math identical to the reference
+(zaf.py:457-559: per-channel symmetric-Hamming-windowed complex exponentials
+of nearest-odd length, centered in a ``fft_length`` buffer, FFT'd,
+magnitude-thresholded at 0.01, conjugated and scaled by ``1/fft_length``) and
+cached per parameter tuple.
+
+Application is where the TPU design departs from the reference. The reference
+runs T sequential 32k-point FFTs each followed by a CSR matvec
+(zaf.py:627-633). Here:
+
+* frames are processed in fixed-size blocks under ``lax.map`` (bounded memory
+  at any signal length — a naive batch of 1-hour frames would be ~12 GB);
+* each block is one batched ``rfft`` (real input, half the FFT work);
+* the thresholded kernel is dense but its nonzero *columns* are a small band
+  (~4% of fft_length); only those columns are gathered from the spectrum and
+  applied as a dense MXU matmul, with Hermitian symmetry
+  ``X[k] = conj(X[L-k])`` supplying any negative-frequency columns from the
+  rfft half-spectrum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zaftpu.core import windows as _windows
+
+
+@dataclasses.dataclass(frozen=True)
+class CqtKernel:
+    """Precomputed CQT spectral kernel plus its reduced (banded) form.
+
+    ``kernel`` matches ``reference cqtkernel(...).toarray()`` (zaf.py:457-559)
+    bit-for-bit. ``columns_low``/``columns_high`` index its nonzero columns in
+    the non-negative / negative frequency halves; ``reduced_low`` /
+    ``reduced_high`` are the corresponding dense column blocks used on device.
+    """
+
+    kernel: np.ndarray            # (F, fft_length) complex128, thresholded
+    columns_low: np.ndarray       # nonzero cols k <= L/2
+    columns_high: np.ndarray      # nonzero cols k > L/2
+    reduced_low: np.ndarray       # (F, len(columns_low)) complex128
+    reduced_high: np.ndarray      # (F, len(columns_high)) complex128
+    time_kernel: np.ndarray       # (F, fft_length) complex128, = FFT(kernel rows)
+
+    @property
+    def shape(self):
+        return self.kernel.shape
+
+    @property
+    def number_frequencies(self) -> int:
+        return self.kernel.shape[0]
+
+    @property
+    def fft_length(self) -> int:
+        return self.kernel.shape[1]
+
+    def toarray(self) -> np.ndarray:
+        return self.kernel
+
+
+@lru_cache(maxsize=8)
+def _cqtkernel_cached(sampling_frequency: float, octave_resolution: int,
+                      minimum_frequency: float,
+                      maximum_frequency: float) -> CqtKernel:
+    # Constant quality factor Q = f_k / (f_{k+1} - f_k) (zaf.py:497).
+    quality = 1.0 / (2.0 ** (1.0 / octave_resolution) - 1.0)
+    number_frequencies = round(
+        octave_resolution * np.log2(maximum_frequency / minimum_frequency))
+    fft_length = int(2.0 ** np.ceil(
+        np.log2(quality * sampling_frequency / minimum_frequency)))
+
+    kernel = np.zeros((number_frequencies, fft_length), dtype=np.complex128)
+    for i in range(number_frequencies):
+        freq = minimum_frequency * 2.0 ** (i / octave_resolution)
+        # Nearest odd length so the temporal kernel centers on 0 (zaf.py:521).
+        length = 2 * round(quality * sampling_frequency / freq / 2) + 1
+        offsets = np.arange(-(length - 1) / 2, (length - 1) / 2 + 1)
+        temporal = (
+            _windows.hamming(length, periodic=False)
+            * np.exp(2j * np.pi * quality * offsets / length) / length
+        )
+        pad = (fft_length - length + 1) // 2
+        kernel[i, pad:pad + length] = temporal
+
+    kernel = np.fft.fft(kernel, axis=1)
+    kernel[np.abs(kernel) < 0.01] = 0          # sparsity threshold zaf.py:551
+    kernel = np.conj(kernel) / fft_length      # Parseval scaling zaf.py:557
+
+    return _finalize_kernel(kernel)
+
+
+def _finalize_kernel(kernel: np.ndarray) -> CqtKernel:
+    fft_length = kernel.shape[1]
+    nonzero_cols = np.nonzero(np.any(kernel != 0, axis=0))[0]
+    half = fft_length // 2
+    columns_low = nonzero_cols[nonzero_cols <= half]
+    columns_high = nonzero_cols[nonzero_cols > half]
+    # Fold the frame FFT into the operator: for any frame x,
+    # (K @ FFT(x))[i] = sum_n x[n] * FFT(K[i, :])[n], so applying
+    # FFT(kernel rows) directly to time-domain frames is mathematically
+    # identical to the reference's per-frame FFT + sparse matvec
+    # (zaf.py:627-633) — and turns the whole CQT into one MXU matmul with
+    # no on-device FFT (whose 32768-point compile is pathologically slow
+    # on TPU).
+    time_kernel = np.fft.fft(kernel, axis=1)
+    return CqtKernel(
+        kernel=kernel,
+        columns_low=columns_low,
+        columns_high=columns_high,
+        reduced_low=np.ascontiguousarray(kernel[:, columns_low]),
+        reduced_high=np.ascontiguousarray(kernel[:, columns_high]),
+        time_kernel=time_kernel,
+    )
+
+
+def cqtkernel(sampling_frequency, octave_resolution, minimum_frequency,
+              maximum_frequency) -> CqtKernel:
+    """Constant-Q spectral kernel (reference zaf.py:457-559 semantics).
+
+    Returns a :class:`CqtKernel`; ``.toarray()`` gives the dense
+    ``(number_frequencies, fft_length)`` complex matrix identical to the
+    reference's sparse kernel densified.
+    """
+    return _cqtkernel_cached(float(sampling_frequency),
+                             int(octave_resolution),
+                             float(minimum_frequency),
+                             float(maximum_frequency))
+
+
+def _as_kernel(cqt_kernel) -> CqtKernel:
+    """Accept a CqtKernel, scipy sparse matrix, or dense array (parity)."""
+    if isinstance(cqt_kernel, CqtKernel):
+        return cqt_kernel
+    dense = np.asarray(cqt_kernel.toarray()
+                       if hasattr(cqt_kernel, "toarray") else cqt_kernel)
+    return _finalize_kernel(dense)
+
+
+_BLOCK_FRAMES = 128  # frames per on-device block (bounds memory at ~17 MB)
+
+
+@partial(jax.jit, static_argnames=("step_length", "fft_length",
+                                   "number_times", "block_frames"))
+def _cqt_apply(padded, k_reduced, gather_cols, conj_mask, step_length,
+               fft_length, number_times, block_frames):
+    """Blocked magnitude-CQT of a padded signal -> ``(T, F)`` frames-major.
+
+    ``k_reduced`` holds only the kernel's nonzero columns; ``gather_cols``
+    maps each of them into the rfft half-spectrum, with ``conj_mask`` marking
+    negative-frequency columns supplied via Hermitian symmetry
+    ``X[k] = conj(X[L-k])``.
+    """
+    blocks = -(-number_times // block_frames)
+    starts = np.arange(block_frames) * step_length
+    seg_len = (block_frames - 1) * step_length + fft_length
+
+    def one_block(b):
+        seg = jax.lax.dynamic_slice(
+            padded, (b * block_frames * step_length,), (seg_len,))
+        frames = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(seg, (s,), (fft_length,)))(starts)
+        half_spec = jnp.fft.rfft(frames, axis=-1)      # (B, L/2+1)
+        gathered = half_spec[:, gather_cols]           # (B, C)
+        gathered = jnp.where(conj_mask, jnp.conj(gathered), gathered)
+        acc = jnp.matmul(gathered, k_reduced.T.astype(half_spec.dtype),
+                         preferred_element_type=half_spec.dtype)
+        return jnp.abs(acc)                            # (B, F)
+
+    out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
+    return out.reshape(blocks * block_frames, -1)[:number_times]
+
+
+@partial(jax.jit, static_argnames=("step_length", "fft_length",
+                                   "number_times", "block_frames"))
+def _cqt_apply_matmul(padded, m_real, m_imag, step_length, fft_length,
+                      number_times, block_frames):
+    """Fused time-domain CQT: frame blocks x FFT'd-kernel as two MXU matmuls.
+
+    ``m_real``/``m_imag`` are the real/imaginary parts of ``FFT(kernel rows)``
+    transposed to ``(fft_length, F)``; no on-device FFT, no gather — the
+    float32 TPU fast path.
+    """
+    blocks = -(-number_times // block_frames)
+    starts = np.arange(block_frames) * step_length
+    seg_len = (block_frames - 1) * step_length + fft_length
+
+    def one_block(b):
+        seg = jax.lax.dynamic_slice(
+            padded, (b * block_frames * step_length,), (seg_len,))
+        frames = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(seg, (s,), (fft_length,)))(starts)
+        re = jnp.matmul(frames, m_real, preferred_element_type=frames.dtype)
+        im = jnp.matmul(frames, m_imag, preferred_element_type=frames.dtype)
+        return jnp.sqrt(re * re + im * im)             # (B, F)
+
+    out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
+    return out.reshape(blocks * block_frames, -1)[:number_times]
+
+
+def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
+                   cqt_kernel):
+    """Magnitude CQT spectrogram ``(number_frequencies, number_times)``.
+
+    Reference semantics (zaf.py:562-635): ``step = round(sr/time_res)``,
+    ``T = floor(N/step)``, asymmetric centering pad, per-frame
+    ``|K . fft(frame)|``.
+    """
+    kern = _as_kernel(cqt_kernel)
+    audio_signal = jnp.asarray(audio_signal)
+    step = round(float(sampling_frequency) / float(time_resolution))
+    number_times = int(audio_signal.shape[-1] // step)
+    fft_length = kern.fft_length
+
+    pad_front = int(np.ceil((fft_length - step) / 2))
+    pad_back = int(np.floor((fft_length - step) / 2))
+    # Extra zeros so the last lax.map block can always slice a full segment.
+    blocks = -(-number_times // _BLOCK_FRAMES)
+    needed = ((blocks * _BLOCK_FRAMES - 1) * step + fft_length)
+    have = int(audio_signal.shape[-1]) + pad_front + pad_back
+    padded = jnp.pad(audio_signal,
+                     (pad_front, pad_back + max(0, needed - have)))
+
+    if padded.dtype == jnp.float32:
+        # f32 fast path: fused time-domain operator, pure MXU matmuls.
+        out = _cqt_apply_matmul(
+            padded,
+            jnp.asarray(kern.time_kernel.real.T.astype(np.float32)),
+            jnp.asarray(kern.time_kernel.imag.T.astype(np.float32)),
+            step, fft_length, number_times, _BLOCK_FRAMES)
+    else:
+        # f64 oracle path: batched rfft + reduced kernel matmul, matching the
+        # reference's FFT rounding for bit-level parity gates.
+        k_reduced = np.concatenate([kern.reduced_low, kern.reduced_high],
+                                   axis=1)
+        all_cols = np.concatenate([kern.columns_low, kern.columns_high])
+        gather_cols = np.where(all_cols <= fft_length // 2, all_cols,
+                               fft_length - all_cols)
+        conj_mask = all_cols > fft_length // 2
+        out = _cqt_apply(
+            padded,
+            jnp.asarray(k_reduced.astype(np.complex128)),
+            jnp.asarray(gather_cols.astype(np.int32)),
+            jnp.asarray(conj_mask),
+            step, fft_length, number_times, _BLOCK_FRAMES)
+    return out.T
+
+
+def cqtchromagram(audio_signal, sampling_frequency, time_resolution,
+                  octave_resolution, cqt_kernel):
+    """CQT chromagram ``(octave_resolution, number_times)``.
+
+    Octave fold of the CQT spectrogram: chroma ``i`` sums channels
+    ``i, i+OR, i+2*OR, ...`` (reference zaf.py:638-700) — expressed as a
+    zero-padded reshape-sum instead of the reference's per-chroma loop.
+    """
+    spectrogram = cqtspectrogram(audio_signal, sampling_frequency,
+                                 time_resolution, cqt_kernel)
+    number_frequencies, number_times = spectrogram.shape
+    octaves = -(-number_frequencies // octave_resolution)
+    padded = jnp.pad(
+        spectrogram,
+        ((0, octaves * octave_resolution - number_frequencies), (0, 0)))
+    return padded.reshape(octaves, octave_resolution, number_times).sum(axis=0)

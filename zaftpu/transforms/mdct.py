@@ -1,0 +1,124 @@
+"""MDCT and inverse MDCT (TDAC), fully batched.
+
+Same math and framing as the reference (zaf.py:984-1184): fixed 50% overlap,
+``T = ceil(N/step) + 1`` frames, FFT with pre/post twiddles, caller-supplied
+TDAC window (Vorbis sine slope or KBD — see ``zaftpu.core.windows``), inverse
+via batched zero-padded FFT and overlap-add with the reference's
+``[F : -F-1]`` trim.
+
+TPU-first differences: the reference loops a per-frame FFT in the forward
+direction "to avoid storing twice longer frames" (comment zaf.py:1059) — a
+host-memory concern that does not apply here; both directions are single
+batched FFTs over frames-major ``(T, WL)`` arrays, the twiddle multiplies are
+fused elementwise ops, and the TDAC overlap-add is the closed-form
+two-shifted-view sum from ``zaftpu.core.frame``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zaftpu.core import frame as _frame
+
+
+@lru_cache(maxsize=32)
+def _forward_twiddles(window_length: int):
+    """Pre/post twiddles of the forward MDCT (reference zaf.py:1047-1056)."""
+    wl = window_length
+    f = wl // 2
+    pre = np.exp(-1j * np.pi / wl * np.arange(wl))
+    post = np.exp(-1j * np.pi / wl * (f + 1) * np.arange(0.5, f + 0.5))
+    return pre, post
+
+
+@lru_cache(maxsize=32)
+def _inverse_twiddles(number_frequencies: int):
+    """Pre/post twiddles of the inverse MDCT (reference zaf.py:1138-1156)."""
+    f = number_frequencies
+    pre = np.exp(-1j * np.pi / (2 * f) * (f + 1) * np.arange(f))
+    post = np.exp(
+        -1j * np.pi / (2 * f) * np.arange(0.5 + f / 2, 2 * f + f / 2 + 0.5)
+    ) / f
+    return pre, post
+
+
+@jax.jit
+def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
+               pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
+    wl = window_function.shape[0]
+    step = wl // 2
+    n = audio_signal.shape[-1]
+    t = int(np.ceil(n / step)) + 1
+    # Pad `step` front and to (T+1)*step total behind (zaf.py:1036-1041).
+    padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
+                     + [(step, (t + 1) * step - n)])
+    frames = _frame.extract_frames(padded, wl, step, t)
+    frames = frames * window_function.astype(frames.dtype)
+    spectra = jnp.fft.fft(frames * pre.astype(jnp.result_type(frames, pre)),
+                          axis=-1)
+    coeffs = jnp.real(spectra[..., :step] * post)
+    return jnp.swapaxes(coeffs, -1, -2)
+
+
+def mdct(audio_signal, window_function):
+    """Modified discrete cosine transform.
+
+    Inputs:
+        audio_signal: real signal ``(number_samples,)`` (or batched
+            ``(..., number_samples)``)
+        window_function: TDAC window ``(window_length,)`` — e.g.
+            ``zaftpu.core.windows.vorbis`` (zaf.py:1100) or ``kbd``
+            (zaf.py:1004-1010)
+    Output:
+        MDCT ``(window_length/2, number_times)`` with
+        ``number_times = ceil(N/(WL/2)) + 1`` — reference zaf.py:984-1075
+        semantics.
+    """
+    window_function = np.asarray(window_function)
+    audio_signal = jnp.asarray(audio_signal)
+    pre, post = _forward_twiddles(window_function.shape[0])
+    ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
+    return _mdct_core(audio_signal, jnp.asarray(window_function),
+                      jnp.asarray(pre.astype(ctype)),
+                      jnp.asarray(post.astype(ctype)))
+
+
+@jax.jit
+def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
+                pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
+    f = audio_mdct.shape[-2]
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
+    ctype = jnp.result_type(coeffs, pre)
+    # Zero-padded length-2F FFT of the pre-twiddled coefficients, batched
+    # over all frames (reference zaf.py:1159-1163).
+    spectra = jnp.fft.fft(coeffs * pre.astype(ctype), n=2 * f, axis=-1)
+    frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
+        jnp.real(spectra).dtype)
+    signal = _frame.overlap_add(frames, f)
+    # Reference trim is [step : -step-1] — one sample shorter than the
+    # padded length on the right (zaf.py:1182).
+    return signal[..., f:signal.shape[-1] - f - 1]
+
+
+def imdct(audio_mdct, window_function):
+    """Inverse MDCT with time-domain aliasing cancellation.
+
+    Inputs:
+        audio_mdct: MDCT ``(number_frequencies, number_times)`` (or batched
+            ``(..., F, T)``)
+        window_function: the TDAC analysis window ``(2*F,)``
+    Output:
+        real signal ``(F*(number_times+1) - 2F - 1,)`` — reference
+        zaf.py:1078-1184 semantics (perfect reconstruction up to rounding for
+        TDAC windows).
+    """
+    audio_mdct = jnp.asarray(audio_mdct)
+    pre, post = _inverse_twiddles(audio_mdct.shape[-2])
+    ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
+    return _imdct_core(audio_mdct, jnp.asarray(np.asarray(window_function)),
+                       jnp.asarray(pre.astype(ctype)),
+                       jnp.asarray(post.astype(ctype)))

@@ -1,0 +1,114 @@
+"""Short-time Fourier transform and its inverse, TPU-native.
+
+Semantics match the reference (zaf.py:45-243): identical centering pad,
+frame-count formula, full-complex ``(window_length, number_times)`` output
+with DC and mirrored bins, COLA-normalized inverse. The implementation is a
+different program entirely:
+
+* frames are materialized frames-major ``(T, WL)`` from K contiguous slice
+  views (no Python loop, no strided FFT axis — the reference's axis-0 FFT over
+  a ``(WL, T)`` array is what collapses it to 88 frames/s on 1-hour audio,
+  BASELINE.md);
+* the forward FFT is a single batched ``rfft`` with the mirrored half
+  reconstructed by conjugate symmetry (half the FFT work of zaf.py:139);
+* the inverse overlap-add is a closed-form sum of K shifted block views
+  instead of the sequential loop at zaf.py:227-233.
+
+Everything is jit-compiled with shapes static per (N, WL, step) combination;
+dtype follows the input (float32 on TPU, float64 for CPU parity runs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zaftpu.core import fft as _fft
+from zaftpu.core import frame as _frame
+
+
+@partial(jax.jit, static_argnames=("step_length",))
+def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
+                      step_length: int) -> jnp.ndarray:
+    """Windowed frames -> rfft, frames-major ``(T, WL//2+1)``.
+
+    Shared by :func:`stft` and the mel/MFCC features, which only consume the
+    non-mirrored bins and therefore skip the full-spectrum reconstruction.
+    """
+    n = audio_signal.shape[-1]
+    wl = window_function.shape[0]
+    pad_front, pad_back, t = _frame.stft_padding(n, wl, step_length)
+    padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
+                     + [(pad_front, pad_back)])
+    frames = _frame.extract_frames(padded, wl, step_length, t)
+    frames = frames * window_function.astype(frames.dtype)
+    return _fft.rfft(frames)
+
+
+def stft(audio_signal, window_function, step_length: int):
+    """Short-time Fourier transform.
+
+    Inputs:
+        audio_signal: real signal ``(number_samples,)`` (or batched
+            ``(..., number_samples)``)
+        window_function: window ``(window_length,)``
+        step_length: hop in samples
+    Output:
+        complex STFT ``(window_length, number_times)`` — full spectrum
+        including DC and mirrored negative-frequency bins, identical layout
+        and values to reference zaf.py:45-141. Batched inputs return
+        ``(..., window_length, number_times)``.
+    """
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(np.asarray(window_function))
+    half = _stft_frames_half(audio_signal, window_function, int(step_length))
+    full = _fft.full_from_half(half, window_function.shape[0])
+    return jnp.swapaxes(full, -1, -2)
+
+
+@partial(jax.jit, static_argnames=("step_length", "gain"))
+def _istft_core(audio_stft: jnp.ndarray, step_length: int,
+                gain: float) -> jnp.ndarray:
+    wl = audio_stft.shape[-2]
+    frames = _fft.real_ifft(jnp.swapaxes(audio_stft, -1, -2))
+    signal = _frame.overlap_add(frames, step_length)
+    # Trim the centering pad (zaf.py:236-238) and divide by the COLA gain
+    # (zaf.py:241); the gain is a host-side float64 scalar of the window.
+    edge = wl - step_length
+    signal = signal[..., edge:signal.shape[-1] - edge]
+    return signal / jnp.asarray(gain, dtype=signal.dtype)
+
+
+def istft(audio_stft, window_function, step_length: int):
+    """Inverse short-time Fourier transform.
+
+    Inputs:
+        audio_stft: complex STFT ``(window_length, number_times)`` (or
+            batched ``(..., window_length, number_times)``)
+        window_function: the analysis window ``(window_length,)``
+        step_length: hop in samples
+    Output:
+        real signal ``(number_times*step - window_length + 2*step,)`` —
+        same trim/normalization semantics as reference zaf.py:144-243.
+        Exact reconstruction needs a COLA window (periodic, step | WL).
+    """
+    audio_stft = jnp.asarray(audio_stft)
+    gain = _frame.cola_gain(np.asarray(window_function), int(step_length))
+    return _istft_core(audio_stft, int(step_length), gain)
+
+
+def spectrogram(audio_signal, window_function, step_length: int):
+    """Magnitude spectrogram over bins ``1..WL/2`` — DC dropped, Nyquist kept.
+
+    This is the reference's universal analysis slice
+    (``abs(stft[1:WL/2+1, :])``, zaf.py:370); computed here directly from the
+    rfft half-spectrum so the mirrored bins are never materialized.
+    """
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(np.asarray(window_function))
+    half = _stft_frames_half(audio_signal, window_function, int(step_length))
+    mag = jnp.abs(half[..., 1:])
+    return jnp.swapaxes(mag, -1, -2)
