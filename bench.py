@@ -1,0 +1,109 @@
+"""Headline benchmark: STFT throughput on 1 hour of audio, single TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): the reference's zaf.stft collapses to 88 frames/s on
+1-hour audio (strided axis-0 FFT over a 5 GB array + Python framing loop).
+Same transform semantics here (full complex (2048, T) output, Hamming 2048
+periodic, step 1024), float32 on device.
+
+Extra context (MDCT throughput, round-trip SNR) goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STFT_1H_FPS = 88.0  # BASELINE.md: measured reference, 1 vCPU
+SR = 44100
+SECONDS = 3600
+WL, STEP = 2048, 1024
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def one_hour_signal():
+    """1 h of audio: the reference fixture tiled, or a synthetic fallback."""
+    try:
+        import zaftpu
+
+        x, sr = zaftpu.wavread("/root/reference/audio_file.wav")
+        mono = x.mean(axis=1).astype(np.float32)
+        reps = -(-SR * SECONDS // len(mono))
+        return np.tile(mono, reps)[: SR * SECONDS]
+    except Exception:
+        t = np.arange(SR * SECONDS, dtype=np.float32) / SR
+        return (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+
+def timed(fn, *args, reps=3):
+    """Best-of-reps wall time of a device computation (post-warmup)."""
+    out = fn(*args)
+    jax_block(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax_block(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def jax_block(x):
+    if hasattr(x, "block_until_ready"):
+        x.block_until_ready()
+    elif isinstance(x, (tuple, list)):
+        for v in x:
+            jax_block(v)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import zaftpu
+    from zaftpu.core.windows import hamming, vorbis
+
+    log(f"devices: {jax.devices()}")
+    signal_np = one_hour_signal()
+    signal = jnp.asarray(signal_np)
+    window = hamming(WL).astype(np.float32)
+    t_frames = int(np.ceil((len(signal_np) + 2 * (WL // 2) - WL) / STEP)) + 1
+    log(f"1 h signal: {len(signal_np)} samples, {t_frames} frames")
+
+    stft_s, spec = timed(lambda x: zaftpu.stft(x, window, STEP), signal)
+    stft_fps = t_frames / stft_s
+    log(f"STFT:  {stft_s:.3f} s -> {stft_fps:,.0f} frames/s "
+        f"(reference 1 vCPU: 88 frames/s)")
+
+    istft_s, _ = timed(lambda s: zaftpu.istft(s, window, STEP), spec)
+    log(f"ISTFT: {istft_s:.3f} s -> {t_frames / istft_s:,.0f} frames/s")
+
+    tdac = vorbis(WL).astype(np.float32)
+    mdct_s, coeffs = timed(lambda x: zaftpu.mdct(x, tdac), signal)
+    t_mdct = int(np.ceil(len(signal_np) / STEP)) + 1
+    log(f"MDCT:  {mdct_s:.3f} s -> {t_mdct / mdct_s:,.0f} frames/s "
+        f"(reference 1 vCPU: 6,330 frames/s)")
+
+    imdct_s, rec = timed(lambda c: zaftpu.imdct(c, tdac), coeffs)
+    log(f"IMDCT: {imdct_s:.3f} s -> {t_mdct / imdct_s:,.0f} frames/s")
+
+    rec_np = np.asarray(rec[: len(signal_np)])
+    err = rec_np - signal_np[: len(rec_np)]
+    snr = 10 * np.log10(float((signal_np[: len(rec_np)] ** 2).sum())
+                        / float((err ** 2).sum()))
+    log(f"MDCT round-trip SNR (f32): {snr:.1f} dB (reference f64: 284 dB)")
+
+    print(json.dumps({
+        "metric": "stft_frames_per_sec_1h_audio",
+        "value": round(stft_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(stft_fps / BASELINE_STFT_1H_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

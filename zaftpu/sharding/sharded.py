@@ -1,0 +1,416 @@
+"""Frame-block-sharded transforms: the long-audio scaling path.
+
+Every analysis transform here shards one long signal (or a batch of them) by
+contiguous *frame blocks* over the mesh's ``"frames"`` axis; every synthesis
+transform shards the frame axis of the coefficient matrix. The only
+communication is the one-hop halo ring from ``zaftpu.sharding.halo`` —
+``window-overlap halo samples exchanged over ICI`` (BASELINE.json north
+star). Outputs are sharded arrays with values identical to the single-device
+transforms (gated against them in tests/test_sharding.py on a virtual
+8-device CPU mesh).
+
+Batched inputs (leading axes before the sample axis) compose with data
+parallelism: when the mesh also has a ``"batch"`` axis
+(:func:`zaftpu.sharding.make_mesh_2d`), the leading dim is sharded over it —
+a true DP x SP 2-D layout with halo rings running independently inside each
+batch row.
+
+Geometry invariant used throughout: the sharded *body* covers
+``t_pad * step`` samples with ``t_pad`` a multiple of the frame-shard count
+and large enough that all true signal content lies inside it; everything
+beyond is zero padding, so edge shards receiving zero halos is exact, and
+surplus frame columns are sliced off at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from zaftpu.core import fft as _fft
+from zaftpu.core import frame as _frame
+from zaftpu.features.mel import _as_dense, _LOG_EPS, dct_ii_ortho_matrix
+from zaftpu.sharding import halo as _halo
+from zaftpu.sharding.mesh import BATCH_AXIS, FRAME_AXIS
+from zaftpu.transforms import cqt as _cqt
+from zaftpu.transforms.mdct import _forward_twiddles, _inverse_twiddles
+
+
+def _batch_spec(mesh, n_batch_dims: int):
+    """Leading-axis partition entries: dim 0 rides the mesh's batch axis."""
+    if n_batch_dims == 0:
+        return ()
+    first = BATCH_AXIS if BATCH_AXIS in mesh.shape else None
+    return (first,) + (None,) * (n_batch_dims - 1)
+
+
+def _pad_last(x, pad_front: int, pad_back: int):
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
+
+
+def _plan_body(number_samples: int, pad_front: int, window_length: int,
+               step: int, number_times: int, n_shards: int):
+    """Frame-count padding so the sharded body holds all signal content.
+
+    Returns ``(t_pad, body_len)`` with ``t_pad % n_shards == 0``,
+    ``t_pad >= number_times``, and ``body_len = t_pad*step >= pad_front + N``
+    (so the halo beyond the body is genuinely zero).
+    """
+    content = pad_front + number_samples
+    t_min = max(number_times, -(-content // step))
+    t_pad = n_shards * (-(-t_min // n_shards))
+    return t_pad, t_pad * step
+
+
+def _sharded_analysis(body, window_length: int, step: int, frame_fn, mesh,
+                      axis_name: str):
+    """shard_map skeleton: pull halo right -> local framing -> frame_fn.
+
+    ``body``: ``(..., t_pad*step)`` zero-extended padded signal. Returns
+    ``frame_fn(frames)`` per local frame block, sharded on the frame axis.
+    """
+    overlap = window_length - step
+    batch = _batch_spec(mesh, body.ndim - 1)
+
+    def local(block):
+        extended = _halo.pull_from_right(block, overlap, axis_name)
+        t_local = block.shape[-1] // step
+        frames = _frame.extract_frames(extended, window_length, step, t_local)
+        return frame_fn(frames)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(*batch, axis_name),
+        out_specs=P(*batch, axis_name, None))(body)
+
+
+def _sharded_synthesis(frames, window_length: int, step: int, mesh,
+                       axis_name: str):
+    """shard_map skeleton: local overlap-add -> push boundary sum right.
+
+    ``frames``: ``(..., t_pad, window_length)`` real frames sharded on the
+    frame axis. Returns the ``(..., t_pad*step)`` overlap-added body,
+    sharded.
+    """
+    overlap = window_length - step
+    batch = _batch_spec(mesh, frames.ndim - 2)
+
+    def local(block_frames):
+        ola = _frame.overlap_add(block_frames, step)
+        split = block_frames.shape[-2] * step
+        body_part = _halo.push_right_sum(ola[..., :split], ola[..., split:],
+                                         axis_name)
+        return body_part
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(*batch, axis_name, None),
+        out_specs=P(*batch, axis_name))(frames)
+
+
+# ---------------------------------------------------------------------------
+# STFT family
+# ---------------------------------------------------------------------------
+
+def _stft_plan(n, wl, step, mesh, axis_name):
+    pad_front, _, t = _frame.stft_padding(n, wl, step)
+    t_pad, body_len = _plan_body(n, pad_front, wl, step, t,
+                                 mesh.shape[axis_name])
+    return t, (pad_front, body_len, t_pad)
+
+
+@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+                                   "pads"))
+def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
+                       axis_name, pads):
+    pad_front, body_len, _ = pads
+    n = audio_signal.shape[-1]
+    body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
+    wl = window_function.shape[0]
+
+    def frame_fn(frames):
+        return _fft.rfft(frames * window_function.astype(frames.dtype))
+
+    return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
+
+
+def stft_sharded(audio_signal, window_function, step_length: int, mesh,
+                 axis_name: str = FRAME_AXIS):
+    """Frame-block-sharded STFT; values identical to :func:`zaftpu.stft`.
+
+    The signal is sharded in contiguous ``t_local*step`` sample blocks; each
+    shard pulls a ``window_length - step`` halo from its right neighbor (one
+    ``ppermute`` hop) and runs the batched windowed rfft locally. Returns the
+    full-spectrum ``(..., window_length, number_times)`` STFT sharded over
+    the time axis (and batched leading dims over the mesh's batch axis, if
+    present).
+    """
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(np.asarray(window_function))
+    wl = window_function.shape[0]
+    t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
+                         axis_name)
+    half = _stft_half_sharded(audio_signal, window_function,
+                              int(step_length), mesh, axis_name, pads)
+    full = _fft.full_from_half(half, wl)
+    return jnp.swapaxes(full, -1, -2)[..., :t]
+
+
+def spectrogram_sharded(audio_signal, window_function, step_length: int,
+                        mesh, axis_name: str = FRAME_AXIS):
+    """Sharded magnitude spectrogram over bins ``1..WL/2`` (``(WL/2, T)``)."""
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(np.asarray(window_function))
+    wl = window_function.shape[0]
+    t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
+                         axis_name)
+    half = _stft_half_sharded(audio_signal, window_function,
+                              int(step_length), mesh, axis_name, pads)
+    return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)[..., :t]
+
+
+@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+                                   "t_pad", "gain"))
+def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, t_pad,
+                        gain):
+    wl, t = audio_stft.shape[-2], audio_stft.shape[-1]
+    frames_major = jnp.swapaxes(audio_stft, -1, -2)
+    # Zero frame columns contribute nothing to the overlap-add.
+    frames_major = jnp.pad(
+        frames_major,
+        [(0, 0)] * (frames_major.ndim - 2) + [(0, t_pad - t), (0, 0)])
+    frames = _fft.real_ifft(frames_major)
+    body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
+    # Reference trim [wl-step : T*step) of the pre-trim signal (zaf.py:236).
+    out = body[..., wl - step_length:t * step_length]
+    return out / jnp.asarray(gain, dtype=out.dtype)
+
+
+def istft_sharded(audio_stft, window_function, step_length: int, mesh,
+                  axis_name: str = FRAME_AXIS):
+    """Frame-block-sharded inverse STFT with boundary-sum halo exchange.
+
+    Each shard overlap-adds its local frames, then pushes the
+    ``window_length - step`` samples that spill into its right neighbor's
+    region through one ``ppermute`` hop; the neighbor sums them into its
+    block head. Values identical to :func:`zaftpu.istft`.
+    """
+    audio_stft = jnp.asarray(audio_stft)
+    step = int(step_length)
+    t = audio_stft.shape[-1]
+    n_shards = mesh.shape[axis_name]
+    t_pad = n_shards * (-(-t // n_shards))
+    gain = _frame.cola_gain(np.asarray(window_function), step)
+    return _istft_core_sharded(audio_stft, step, mesh, axis_name, t_pad, gain)
+
+
+# ---------------------------------------------------------------------------
+# Mel features (sharded spectrogram + replicated filterbank matmuls)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+                                   "pads", "power"))
+def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
+                      mesh, axis_name, pads, power):
+    pad_front, body_len, _ = pads
+    n = audio_signal.shape[-1]
+    body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
+    wl = window_function.shape[0]
+
+    def frame_fn(frames):
+        half = _fft.rfft(frames * window_function.astype(frames.dtype))
+        mag = jnp.abs(half[..., 1:])
+        if power:
+            mag = mag * mag
+        return jnp.matmul(mag, fbank_t.astype(mag.dtype),
+                          preferred_element_type=mag.dtype)
+
+    return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
+
+
+def melspectrogram_sharded(audio_signal, window_function, step_length: int,
+                           mel_filterbank, mesh,
+                           axis_name: str = FRAME_AXIS):
+    """Sharded mel spectrogram ``(number_mels, T)`` — filterbank replicated,
+    spectrogram frames sharded; one fused windowed-rfft + MXU matmul per
+    shard."""
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(np.asarray(window_function))
+    fbank = _as_dense(mel_filterbank)
+    wl = window_function.shape[0]
+    t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
+                         axis_name)
+    mel = _mel_core_sharded(audio_signal, window_function,
+                            jnp.asarray(fbank.T), int(step_length), mesh,
+                            axis_name, pads, False)
+    return jnp.swapaxes(mel, -1, -2)[..., :t]
+
+
+def mfcc_sharded(audio_signal, window_function, step_length: int,
+                 mel_filterbank, number_coefficients: int, mesh,
+                 axis_name: str = FRAME_AXIS):
+    """Sharded MFCCs ``(number_coefficients, T)``."""
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(np.asarray(window_function))
+    fbank = _as_dense(mel_filterbank)
+    dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
+    wl = window_function.shape[0]
+    t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
+                         axis_name)
+    mel_power = _mel_core_sharded(audio_signal, window_function,
+                                  jnp.asarray(fbank.T), int(step_length),
+                                  mesh, axis_name, pads, True)
+    logmel = jnp.log(mel_power + jnp.asarray(_LOG_EPS, mel_power.dtype))
+    cepstra = jnp.matmul(logmel, jnp.asarray(dct_mat.T).astype(logmel.dtype),
+                         preferred_element_type=logmel.dtype)
+    out = jnp.swapaxes(cepstra, -1, -2)[..., :t]
+    return out[..., 1:number_coefficients + 1, :]
+
+
+# ---------------------------------------------------------------------------
+# MDCT family
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads"))
+def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
+                       axis_name, pads):
+    pad_front, body_len, _ = pads
+    wl = window_function.shape[0]
+    step = wl // 2
+    n = audio_signal.shape[-1]
+    body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
+
+    def frame_fn(frames):
+        frames = frames * window_function.astype(frames.dtype)
+        spectra = jnp.fft.fft(
+            frames * pre.astype(jnp.result_type(frames, pre)), axis=-1)
+        return jnp.real(spectra[..., :step] * post)
+
+    return _sharded_analysis(body, wl, step, frame_fn, mesh, axis_name)
+
+
+def mdct_sharded(audio_signal, window_function, mesh,
+                 axis_name: str = FRAME_AXIS):
+    """Frame-block-sharded MDCT ``(WL/2, number_times)``; values identical
+    to :func:`zaftpu.mdct`."""
+    audio_signal = jnp.asarray(audio_signal)
+    window_function = np.asarray(window_function)
+    wl = window_function.shape[0]
+    step = wl // 2
+    n = audio_signal.shape[-1]
+    t = int(np.ceil(n / step)) + 1
+    t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
+    pre, post = _forward_twiddles(wl)
+    ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
+    coeffs = _mdct_core_sharded(
+        audio_signal, jnp.asarray(window_function),
+        jnp.asarray(pre.astype(ctype)), jnp.asarray(post.astype(ctype)),
+        mesh, axis_name, (step, body_len, t_pad))
+    return jnp.swapaxes(coeffs, -1, -2)[..., :t]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "t_pad"))
+def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
+                        axis_name, t_pad):
+    f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    coeffs = jnp.pad(coeffs,
+                     [(0, 0)] * (coeffs.ndim - 2) + [(0, t_pad - t), (0, 0)])
+    ctype = jnp.result_type(coeffs, pre)
+    spectra = jnp.fft.fft(coeffs * pre.astype(ctype), n=2 * f, axis=-1)
+    frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
+        jnp.real(spectra).dtype)
+    body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
+    # Reference trim [F : F*(T+1) - F - 1) (zaf.py:1182): length F*T - F - 1.
+    return body[..., f:f * t - 1]
+
+
+def imdct_sharded(audio_mdct, window_function, mesh,
+                  axis_name: str = FRAME_AXIS):
+    """Frame-block-sharded inverse MDCT with TDAC boundary-sum exchange;
+    values identical to :func:`zaftpu.imdct`."""
+    audio_mdct = jnp.asarray(audio_mdct)
+    f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
+    n_shards = mesh.shape[axis_name]
+    t_pad = n_shards * (-(-t // n_shards))
+    pre, post = _inverse_twiddles(f)
+    ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
+    return _imdct_core_sharded(
+        audio_mdct, jnp.asarray(np.asarray(window_function)),
+        jnp.asarray(pre.astype(ctype)), jnp.asarray(post.astype(ctype)),
+        mesh, axis_name, t_pad)
+
+
+# ---------------------------------------------------------------------------
+# CQT family
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("step_length", "fft_length", "mesh",
+                                   "axis_name", "pads", "block_frames"))
+def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
+                      fft_length, mesh, axis_name, pads, block_frames):
+    pad_front, body_len, _ = pads
+    n = padless_signal.shape[-1]
+    body = _pad_last(padless_signal, pad_front, body_len - pad_front - n)
+    overlap = fft_length - step_length
+    batch = _batch_spec(mesh, body.ndim - 1)
+
+    def local(block):
+        extended = _halo.pull_from_right(block, overlap, axis_name)
+        t_local = block.shape[-1] // step_length
+        b = min(block_frames, t_local)
+        # Zero-extend so the last lax.map block can slice a full segment
+        # (surplus frames are discarded by the impl's [:t_local] slice).
+        blocks = -(-t_local // b)
+        needed = (blocks * b - 1) * step_length + fft_length
+        extended = _pad_last(extended, 0,
+                             max(0, needed - extended.shape[-1]))
+        return _cqt._blocked_matmul_impl(
+            extended, m_real, m_imag, step_length, fft_length, t_local, b)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(*batch, axis_name),
+        out_specs=P(*batch, axis_name, None))(body)
+
+
+def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
+                           cqt_kernel, mesh, axis_name: str = FRAME_AXIS):
+    """Frame-block-sharded CQT spectrogram (float32 fused-matmul path).
+
+    The halo here is ``fft_length - step`` samples (the CQT's analysis reach,
+    ~31k samples at the default kernel) — pulled over as many ``ppermute``
+    hops as it spans shards.
+    """
+    kern = _cqt._as_kernel(cqt_kernel)
+    audio_signal = jnp.asarray(audio_signal)
+    step = round(float(sampling_frequency) / float(time_resolution))
+    n = int(audio_signal.shape[-1])
+    t = n // step
+    fft_length = kern.fft_length
+    pad_front = int(np.ceil((fft_length - step) / 2))
+    t_pad, body_len = _plan_body(n, pad_front, fft_length, step, t,
+                                 mesh.shape[axis_name])
+    out = _cqt_core_sharded(
+        audio_signal,
+        jnp.asarray(kern.time_kernel.real.T.astype(np.float32)),
+        jnp.asarray(kern.time_kernel.imag.T.astype(np.float32)),
+        step, fft_length, mesh, axis_name,
+        (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES)
+    return jnp.swapaxes(out, -1, -2)[..., :t]
+
+
+def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
+                          octave_resolution, cqt_kernel, mesh,
+                          axis_name: str = FRAME_AXIS):
+    """Sharded CQT chromagram (octave fold of the sharded spectrogram)."""
+    spec = cqtspectrogram_sharded(audio_signal, sampling_frequency,
+                                  time_resolution, cqt_kernel, mesh,
+                                  axis_name)
+    f, t = spec.shape[-2], spec.shape[-1]
+    octaves = -(-f // octave_resolution)
+    padded = jnp.pad(spec, [(0, 0)] * (spec.ndim - 2)
+                     + [(0, octaves * octave_resolution - f), (0, 0)])
+    folded = padded.reshape(*spec.shape[:-2], octaves, octave_resolution, t)
+    return folded.sum(axis=-3)

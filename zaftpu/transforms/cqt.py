@@ -178,16 +178,9 @@ def _cqt_apply(padded, k_reduced, gather_cols, conj_mask, step_length,
     return out.reshape(blocks * block_frames, -1)[:number_times]
 
 
-@partial(jax.jit, static_argnames=("step_length", "fft_length",
-                                   "number_times", "block_frames"))
-def _cqt_apply_matmul(padded, m_real, m_imag, step_length, fft_length,
-                      number_times, block_frames):
-    """Fused time-domain CQT: frame blocks x FFT'd-kernel as two MXU matmuls.
-
-    ``m_real``/``m_imag`` are the real/imaginary parts of ``FFT(kernel rows)``
-    transposed to ``(fft_length, F)``; no on-device FFT, no gather — the
-    float32 TPU fast path.
-    """
+def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
+                         number_times, block_frames):
+    """Blocked fused time-domain CQT body (also reused inside shard_map)."""
     blocks = -(-number_times // block_frames)
     starts = np.arange(block_frames) * step_length
     seg_len = (block_frames - 1) * step_length + fft_length
@@ -203,6 +196,20 @@ def _cqt_apply_matmul(padded, m_real, m_imag, step_length, fft_length,
 
     out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
     return out.reshape(blocks * block_frames, -1)[:number_times]
+
+
+@partial(jax.jit, static_argnames=("step_length", "fft_length",
+                                   "number_times", "block_frames"))
+def _cqt_apply_matmul(padded, m_real, m_imag, step_length, fft_length,
+                      number_times, block_frames):
+    """Fused time-domain CQT: frame blocks x FFT'd-kernel as two MXU matmuls.
+
+    ``m_real``/``m_imag`` are the real/imaginary parts of ``FFT(kernel rows)``
+    transposed to ``(fft_length, F)``; no on-device FFT, no gather — the
+    float32 TPU fast path.
+    """
+    return _blocked_matmul_impl(padded, m_real, m_imag, step_length,
+                                fft_length, number_times, block_frames)
 
 
 def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
