@@ -36,3 +36,20 @@ def wavwrite(audio_signal, sampling_frequency, audio_file):
     """Write a WAV file (no rescaling — reference zaf.py:1207-1219 contract)."""
     scipy.io.wavfile.write(audio_file, int(sampling_frequency),
                            np.asarray(audio_signal))
+
+
+def wavread_f32(audio_file):
+    """Float32 fast-path read via the native C++ codec (seek-capable, no
+    whole-file double conversion); SciPy fallback. Same normalization as
+    :func:`wavread`.
+
+    Returns ``(signal (N, channels) float32, sampling_frequency)``.
+    """
+    try:
+        from zaftpu.io.native import WavFile
+
+        handle = WavFile(audio_file)
+        return handle.read(), handle.sample_rate
+    except Exception:
+        signal, sr = wavread(audio_file)
+        return np.asarray(signal, dtype=np.float32), sr
