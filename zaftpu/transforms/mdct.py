@@ -49,6 +49,8 @@ def _inverse_twiddles(number_frequencies: int):
 @jax.jit
 def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
                pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
+    from zaftpu import pallas as _pallas
+
     wl = window_function.shape[0]
     step = wl // 2
     n = audio_signal.shape[-1]
@@ -56,8 +58,7 @@ def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     # Pad `step` front and to (T+1)*step total behind (zaf.py:1036-1041).
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
-    frames = _frame.extract_frames(padded, wl, step, t)
-    frames = frames * window_function.astype(frames.dtype)
+    frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
     spectra = jnp.fft.fft(frames * pre.astype(jnp.result_type(frames, pre)),
                           axis=-1)
     coeffs = jnp.real(spectra[..., :step] * post)
@@ -96,9 +97,11 @@ def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
     # Zero-padded length-2F FFT of the pre-twiddled coefficients, batched
     # over all frames (reference zaf.py:1159-1163).
     spectra = jnp.fft.fft(coeffs * pre.astype(ctype), n=2 * f, axis=-1)
+    from zaftpu import pallas as _pallas
+
     frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
         jnp.real(spectra).dtype)
-    signal = _frame.overlap_add(frames, f)
+    signal = _pallas.overlap_add(frames, f)
     # Reference trim is [step : -step-1] — one sample shorter than the
     # padded length on the right (zaf.py:1182).
     return signal[..., f:signal.shape[-1] - f - 1]

@@ -38,13 +38,15 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     Shared by :func:`stft` and the mel/MFCC features, which only consume the
     non-mirrored bins and therefore skip the full-spectrum reconstruction.
     """
+    from zaftpu import pallas as _pallas
+
     n = audio_signal.shape[-1]
     wl = window_function.shape[0]
     pad_front, pad_back, t = _frame.stft_padding(n, wl, step_length)
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(pad_front, pad_back)])
-    frames = _frame.extract_frames(padded, wl, step_length, t)
-    frames = frames * window_function.astype(frames.dtype)
+    frames = _pallas.windowed_frames(padded, window_function, wl,
+                                     step_length, t)
     return _fft.rfft(frames)
 
 
@@ -72,9 +74,11 @@ def stft(audio_signal, window_function, step_length: int):
 @partial(jax.jit, static_argnames=("step_length", "gain"))
 def _istft_core(audio_stft: jnp.ndarray, step_length: int,
                 gain: float) -> jnp.ndarray:
+    from zaftpu import pallas as _pallas
+
     wl = audio_stft.shape[-2]
     frames = _fft.real_ifft(jnp.swapaxes(audio_stft, -1, -2))
-    signal = _frame.overlap_add(frames, step_length)
+    signal = _pallas.overlap_add(frames, step_length)
     # Trim the centering pad (zaf.py:236-238) and divide by the COLA gain
     # (zaf.py:241); the gain is a host-side float64 scalar of the window.
     edge = wl - step_length
