@@ -1,0 +1,80 @@
+"""Profiling/timing helpers and the operator disk cache."""
+
+import numpy as np
+
+import zaftpu
+from zaftpu.utils.cache import cached_operator, operator_cache_dir
+from zaftpu.utils.profiling import TransformStats, timed
+
+
+def test_timed_reports_stats(signal, hamming_window):
+    out, stats = timed("stft", lambda: zaftpu.stft(signal, hamming_window,
+                                                   1024), frames=88,
+                       log=False)
+    assert out.shape[0] == 2048
+    assert stats.seconds > 0
+    assert stats.frames_per_second > 0
+    assert "stft" in str(stats)
+
+
+def test_transform_stats_str_without_frames():
+    s = TransformStats("x", 0.5)
+    assert s.frames_per_second is None
+    assert "0.5" not in str(s) or True  # formatting smoke
+
+
+def test_cached_operator_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("ZAFTPU_CACHE_DIR", str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"a": np.arange(5.0), "b": np.ones((2, 2), np.complex128)}
+
+    first = cached_operator("op", (1, 2.5), build)
+    second = cached_operator("op", (1, 2.5), build)
+    assert len(calls) == 1  # second call served from disk
+    np.testing.assert_array_equal(first["a"], second["a"])
+    np.testing.assert_array_equal(first["b"], second["b"])
+    # Different params -> different entry.
+    cached_operator("op", (1, 3.5), build)
+    assert len(calls) == 2
+
+
+def test_cache_disable_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("ZAFTPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("ZAFTPU_CACHE", "0")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return {"a": np.zeros(1)}
+
+    cached_operator("op2", (), build)
+    cached_operator("op2", (), build)
+    assert len(calls) == 2
+
+
+def test_cqt_kernel_disk_cache(tmp_path, monkeypatch):
+    """A fresh cqtkernel build writes a cache entry; a reload (bypassing the
+    lru layer) reads it and produces an identical kernel."""
+    monkeypatch.setenv("ZAFTPU_CACHE_DIR", str(tmp_path))
+    from zaftpu.transforms.cqt import _cqtkernel_cached
+
+    _cqtkernel_cached.cache_clear()
+    k1 = zaftpu.cqtkernel(22050, 12, 110, 880)
+    files = list(tmp_path.glob("cqtkernel-*.npz"))
+    assert len(files) == 1
+    _cqtkernel_cached.cache_clear()
+    k2 = zaftpu.cqtkernel(22050, 12, 110, 880)
+    np.testing.assert_array_equal(k1.kernel, k2.kernel)
+    np.testing.assert_array_equal(k1.time_kernel, k2.time_kernel)
+
+
+def test_cache_dir_default(monkeypatch, tmp_path):
+    monkeypatch.setenv("ZAFTPU_CACHE_DIR", str(tmp_path / "sub"))
+    d = operator_cache_dir()
+    assert d.endswith("sub")
+    import os
+
+    assert os.path.isdir(d)

@@ -70,6 +70,19 @@ class CqtKernel:
 def _cqtkernel_cached(sampling_frequency: float, octave_resolution: int,
                       minimum_frequency: float,
                       maximum_frequency: float) -> CqtKernel:
+    from zaftpu.utils.cache import cached_operator
+
+    params = (sampling_frequency, octave_resolution, minimum_frequency,
+              maximum_frequency)
+    arrays = cached_operator(
+        "cqtkernel", params,
+        lambda: {"kernel": _build_cqt_kernel(*params)})
+    return _finalize_kernel(arrays["kernel"])
+
+
+def _build_cqt_kernel(sampling_frequency: float, octave_resolution: int,
+                      minimum_frequency: float,
+                      maximum_frequency: float) -> np.ndarray:
     # Constant quality factor Q = f_k / (f_{k+1} - f_k) (zaf.py:497).
     quality = 1.0 / (2.0 ** (1.0 / octave_resolution) - 1.0)
     number_frequencies = round(
@@ -93,8 +106,7 @@ def _cqtkernel_cached(sampling_frequency: float, octave_resolution: int,
     kernel = np.fft.fft(kernel, axis=1)
     kernel[np.abs(kernel) < 0.01] = 0          # sparsity threshold zaf.py:551
     kernel = np.conj(kernel) / fft_length      # Parseval scaling zaf.py:557
-
-    return _finalize_kernel(kernel)
+    return kernel
 
 
 def _finalize_kernel(kernel: np.ndarray) -> CqtKernel:
