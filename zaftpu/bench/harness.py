@@ -1,0 +1,142 @@
+"""Benchmark harness: per-transform throughput and mesh-scaling runs.
+
+``python -m zaftpu.bench.harness [--seconds S] [--scaling]`` measures every
+transform's frames/s on the current backend, and (with ``--scaling``) the
+frame-sharded STFT/ISTFT across mesh sizes — the BASELINE.json north-star
+measurement (frames/s at 1 chip / 1 host / N hosts, ≥90 % linear target).
+On a single-chip environment the scaling run uses the virtual-device CPU
+mesh, which validates the collective layouts but not ICI bandwidth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _signal(seconds: float, sr: int = 44100) -> np.ndarray:
+    try:
+        import zaftpu
+
+        x, _ = zaftpu.wavread("/root/reference/audio_file.wav")
+        mono = x.mean(axis=1).astype(np.float32)
+        reps = -(-int(seconds * sr) // len(mono))
+        return np.tile(mono, reps)[: int(seconds * sr)]
+    except Exception:
+        t = np.arange(int(seconds * sr), dtype=np.float32) / sr
+        return (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+
+def run_transform_suite(seconds: float = 60.0, reps: int = 3):
+    """Time every transform; returns list of dicts (printed as a table)."""
+    import jax.numpy as jnp
+
+    import zaftpu
+    from zaftpu.core.windows import hamming, vorbis
+    from zaftpu.utils.profiling import timed
+
+    sr, wl, step = 44100, 2048, 1024
+    signal = jnp.asarray(_signal(seconds, sr))
+    window = hamming(wl).astype(np.float32)
+    tdac = vorbis(wl).astype(np.float32)
+    fbank = zaftpu.melfilterbank(sr, wl, 40)
+    kernel = zaftpu.cqtkernel(sr, 24, 55, 3520)
+    n = int(signal.shape[0])
+    t_stft = int(np.ceil((n + 2 * (wl // 2) - wl) / step)) + 1
+    t_mdct = int(np.ceil(n / step)) + 1
+    t_cqt = n // round(sr / 25)
+
+    rows = []
+
+    def bench(name, fn, frames, *args):
+        _, stats = timed(name, fn, *args, frames=frames, reps=reps, log=False)
+        rows.append({"transform": name, "seconds": round(stats.seconds, 4),
+                     "frames_per_sec": round(stats.frames_per_second, 1)})
+        return _
+
+    spec = zaftpu.stft(signal, window, step)
+    bench("stft", lambda x: zaftpu.stft(x, window, step), t_stft, signal)
+    bench("istft", lambda s: zaftpu.istft(s, window, step), t_stft, spec)
+    bench("spectrogram",
+          lambda x: __import__("zaftpu.transforms.stft", fromlist=["s"])
+          .spectrogram(x, window, step), t_stft, signal)
+    bench("melspectrogram",
+          lambda x: zaftpu.melspectrogram(x, window, step, fbank), t_stft,
+          signal)
+    bench("mfcc", lambda x: zaftpu.mfcc(x, window, step, fbank, 20), t_stft,
+          signal)
+    coeffs = zaftpu.mdct(signal, tdac)
+    bench("mdct", lambda x: zaftpu.mdct(x, tdac), t_mdct, signal)
+    bench("imdct", lambda c: zaftpu.imdct(c, tdac), t_mdct, coeffs)
+    bench("cqtspectrogram",
+          lambda x: zaftpu.cqtspectrogram(x, sr, 25, kernel), t_cqt, signal)
+    bench("cqtchromagram",
+          lambda x: zaftpu.cqtchromagram(x, sr, 25, 24, kernel), t_cqt,
+          signal)
+    seg = np.asarray(signal[:1024])
+    batch = jnp.asarray(np.tile(seg, (1024, 1)))
+    bench("dct2_batch1024", lambda b: zaftpu.dct(b, 2), 1024, batch)
+    bench("dst2_batch1024", lambda b: zaftpu.dst(b, 2), 1024, batch)
+    return rows
+
+
+def run_scaling(seconds: float = 60.0, reps: int = 3):
+    """Frame-sharded STFT+ISTFT frames/s across mesh sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    import zaftpu  # noqa: F401
+    from zaftpu.core.windows import hamming
+    from zaftpu.sharding import istft_sharded, make_mesh, stft_sharded
+    from zaftpu.utils.profiling import timed
+
+    sr, wl, step = 44100, 2048, 1024
+    signal = jnp.asarray(_signal(seconds, sr))
+    window = hamming(wl).astype(np.float32)
+    n = int(signal.shape[0])
+    t_stft = int(np.ceil((n + 2 * (wl // 2) - wl) / step)) + 1
+
+    n_dev = len(jax.devices())
+    sizes = sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
+    rows = []
+    for size in sizes:
+        mesh = make_mesh(size)
+
+        def pipeline(x):
+            spec = stft_sharded(x, window, step, mesh)
+            return istft_sharded(spec, window, step, mesh)
+
+        _, stats = timed(f"stft+istft@{size}", pipeline, signal,
+                         frames=t_stft, reps=reps, log=False)
+        rows.append({"devices": size, "seconds": round(stats.seconds, 4),
+                     "frames_per_sec": round(stats.frames_per_second, 1)})
+    if rows and rows[0]["frames_per_sec"] > 0:
+        base = rows[0]["frames_per_sec"]
+        for row in rows:
+            row["scaling_efficiency"] = round(
+                row["frames_per_sec"] / (base * row["devices"]), 3)
+    return rows
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seconds", type=float, default=60.0)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--scaling", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    print(f"# backend: {jax.default_backend()}, devices: "
+          f"{len(jax.devices())}", file=sys.stderr)
+    rows = (run_scaling(args.seconds, args.reps) if args.scaling
+            else run_transform_suite(args.seconds, args.reps))
+    for row in rows:
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
