@@ -79,6 +79,30 @@ class BlockReader:
             block = np.pad(block, pad)
         return np.ascontiguousarray(block, dtype=np.float32)
 
+    def read_span(self, start: int, count: int) -> np.ndarray:
+        """Arbitrary ``(count,)`` span in sample coordinates, zero-filled
+        outside the file — the primitive the resumable pipelines use to read
+        the *padded* signal stream without materializing it."""
+        lo = max(start, 0)
+        hi = min(start + count, self.frames)
+        if hi <= lo:
+            return np.zeros(count, dtype=np.float32)
+        if self._native is not None:
+            data = self._native.read(lo, hi - lo)
+        else:
+            raw = self._mmap[lo:hi]
+            if np.issubdtype(raw.dtype, np.integer):
+                data = raw.astype(np.float32) / float(
+                    2 ** (raw.dtype.itemsize * 8 - 1))
+            else:
+                data = raw.astype(np.float32)
+            if data.ndim == 1:
+                data = data[:, None]
+        chunk = data.mean(axis=1) if self.mono else data
+        out = np.zeros(count, dtype=np.float32)
+        out[lo - start:lo - start + chunk.shape[0]] = chunk
+        return out
+
     def __iter__(self):
         for i in range(self.num_blocks):
             yield i * self.block_samples, self.read_block(i)
