@@ -40,9 +40,22 @@ def one_hour_signal():
 
 
 def timed(fn, *args, reps=3):
-    """Best-of-reps wall time of a device computation (post-warmup)."""
-    out = fn(*args)
-    jax_block(out)
+    """Best-of-reps wall time of a device computation (post-warmup).
+
+    The first (compiling) call retries on transient remote-compile errors
+    (the axon tunnel occasionally returns UNIMPLEMENTED; successful compiles
+    are cached server-side, so a retry usually sticks).
+    """
+    for attempt in range(3):
+        try:
+            out = fn(*args)
+            jax_block(out)
+            break
+        except Exception as exc:  # noqa: BLE001 - transient tunnel errors
+            if attempt == 2:
+                raise
+            log(f"warmup attempt {attempt + 1} failed ({exc}); retrying")
+            time.sleep(5)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
