@@ -18,7 +18,11 @@ runs T sequential 32k-point FFTs each followed by a CSR matvec
   (~4% of fft_length); only those columns are gathered from the spectrum and
   applied as a dense MXU matmul, with Hermitian symmetry
   ``X[k] = conj(X[L-k])`` supplying any negative-frequency columns from the
-  rfft half-spectrum.
+  rfft half-spectrum;
+* the float32 fast path goes further and removes the FFT entirely by folding
+  it into the operator (GEMM-native NDFT — same idea as the MelT accelerator
+  front-end, PAPERS.md): ``K @ FFT(x) == FFT(K-rows) @ x``, one real x
+  complex MXU matmul per frame block.
 """
 
 from __future__ import annotations
