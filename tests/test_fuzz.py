@@ -72,15 +72,20 @@ def test_istft_matches_oracle(n, wl, step):
 @pytest.mark.parametrize("n,wl,step", [(5000, 256, 128), (12345, 1024, 512),
                                        (999, 128, 32)])
 def test_cola_roundtrip_random_configs(n, wl, step):
-    """COLA windows (periodic hamming, step | wl, overlap >= 2x)
-    reconstruct exactly."""
+    """COLA windows (periodic hamming, step | wl, overlap >= 2x) reconstruct
+    exactly — up to the reference's trim shift: istft trims ``wl - step``
+    but the analysis pad is ``wl//2`` (zaf.py:99,236), so at hops other than
+    50% the output is offset by ``(wl - step) - wl//2`` samples. We
+    reproduce that semantic faithfully."""
     signal = RNG.standard_normal(n)
     window = hamming(wl)
     rec = np.asarray(zaftpu.istft(zaftpu.stft(signal, window, step), window,
                                   step))
-    m = min(n, len(rec))
-    err = rec[:m] - signal[:m]
-    snr = 10 * np.log10((signal[:m] ** 2).sum() / (err ** 2).sum())
+    offset = (wl - step) - wl // 2
+    aligned = signal[offset:offset + len(rec)]
+    m = min(len(aligned), len(rec))
+    err = rec[:m] - aligned[:m]
+    snr = 10 * np.log10((aligned[:m] ** 2).sum() / (err ** 2).sum())
     assert snr > 280
 
 
