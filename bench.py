@@ -6,10 +6,17 @@ Baseline (BASELINE.md): the reference's zaf.stft collapses to 88 frames/s on
 Same transform semantics here (full complex (2048, T) output, Hamming 2048
 periodic, step 1024), float32 on device.
 
-Extra context (MDCT throughput, round-trip SNR) goes to stderr.
+Extra context (ISTFT/MDCT/IMDCT throughput, round-trip SNR) goes to stderr.
+
+Synchronization note: through the axon remote tunnel ``block_until_ready``
+can return before execution finishes, so timing uses a dependent one-element
+device->host fetch; SNRs are computed on device and fetched as scalars
+(large d2h transfers are also avoided because the tunnel drops them
+intermittently).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -17,7 +24,7 @@ import numpy as np
 
 BASELINE_STFT_1H_FPS = 88.0  # BASELINE.md: measured reference, 1 vCPU
 SR = 44100
-SECONDS = 3600
+SECONDS = int(os.environ.get("BENCH_SECONDS", "3600"))
 WL, STEP = 2048, 1024
 
 
@@ -26,7 +33,7 @@ def log(msg):
 
 
 def one_hour_signal():
-    """1 h of audio: the reference fixture tiled, or a synthetic fallback."""
+    """SECONDS of audio: the reference fixture tiled, or a synthetic tone."""
     try:
         import zaftpu
 
@@ -39,38 +46,37 @@ def one_hour_signal():
         return (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
 
 
+def sync(x):
+    """Force completion via a dependent tiny transfer (tunnel-safe)."""
+    import jax
+
+    flat = x.reshape(-1) if hasattr(x, "reshape") else x
+    return jax.device_get(flat[-1])
+
+
 def timed(fn, *args, reps=3):
     """Best-of-reps wall time of a device computation (post-warmup).
 
     The first (compiling) call retries on transient remote-compile errors
-    (the axon tunnel occasionally returns UNIMPLEMENTED; successful compiles
-    are cached server-side, so a retry usually sticks).
+    (successful compiles are cached server-side, so a retry usually sticks).
     """
     for attempt in range(3):
         try:
             out = fn(*args)
-            jax_block(out)
+            sync(out)
             break
         except Exception as exc:  # noqa: BLE001 - transient tunnel errors
             if attempt == 2:
                 raise
             log(f"warmup attempt {attempt + 1} failed ({exc}); retrying")
-            time.sleep(5)
+            time.sleep(10)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax_block(out)
+        sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
-
-
-def jax_block(x):
-    if hasattr(x, "block_until_ready"):
-        x.block_until_ready()
-    elif isinstance(x, (tuple, list)):
-        for v in x:
-            jax_block(v)
 
 
 def main():
@@ -85,15 +91,25 @@ def main():
     signal = jnp.asarray(signal_np)
     window = hamming(WL).astype(np.float32)
     t_frames = int(np.ceil((len(signal_np) + 2 * (WL // 2) - WL) / STEP)) + 1
-    log(f"1 h signal: {len(signal_np)} samples, {t_frames} frames")
+    log(f"{SECONDS} s signal: {len(signal_np)} samples, {t_frames} frames")
 
     stft_s, spec = timed(lambda x: zaftpu.stft(x, window, STEP), signal)
     stft_fps = t_frames / stft_s
     log(f"STFT:  {stft_s:.3f} s -> {stft_fps:,.0f} frames/s "
         f"(reference 1 vCPU: 88 frames/s)")
 
-    istft_s, _ = timed(lambda s: zaftpu.istft(s, window, STEP), spec)
+    istft_s, rec = timed(lambda s: zaftpu.istft(s, window, STEP), spec)
     log(f"ISTFT: {istft_s:.3f} s -> {t_frames / istft_s:,.0f} frames/s")
+
+    @jax.jit
+    def snr_db(a, b):
+        n = min(a.shape[0], b.shape[0])
+        err = a[:n] - b[:n]
+        return 10.0 * jnp.log10(jnp.sum(a[:n] * a[:n]) / jnp.sum(err * err))
+
+    roundtrip = float(jax.device_get(snr_db(signal, rec)))
+    log(f"STFT round-trip SNR (f32): {roundtrip:.1f} dB "
+        f"(reference f64: 311.7 dB)")
 
     tdac = vorbis(WL).astype(np.float32)
     mdct_s, coeffs = timed(lambda x: zaftpu.mdct(x, tdac), signal)
@@ -101,14 +117,12 @@ def main():
     log(f"MDCT:  {mdct_s:.3f} s -> {t_mdct / mdct_s:,.0f} frames/s "
         f"(reference 1 vCPU: 6,330 frames/s)")
 
-    imdct_s, rec = timed(lambda c: zaftpu.imdct(c, tdac), coeffs)
+    imdct_s, rec2 = timed(lambda c: zaftpu.imdct(c, tdac), coeffs)
     log(f"IMDCT: {imdct_s:.3f} s -> {t_mdct / imdct_s:,.0f} frames/s")
 
-    rec_np = np.asarray(rec[: len(signal_np)])
-    err = rec_np - signal_np[: len(rec_np)]
-    snr = 10 * np.log10(float((signal_np[: len(rec_np)] ** 2).sum())
-                        / float((err ** 2).sum()))
-    log(f"MDCT round-trip SNR (f32): {snr:.1f} dB (reference f64: 284 dB)")
+    tdac_snr = float(jax.device_get(snr_db(signal, rec2)))
+    log(f"MDCT round-trip SNR (f32): {tdac_snr:.1f} dB "
+        f"(reference f64: 284 dB)")
 
     print(json.dumps({
         "metric": "stft_frames_per_sec_1h_audio",

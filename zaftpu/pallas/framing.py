@@ -35,10 +35,15 @@ def supported(window_length: int, step: int, dtype) -> bool:
             and dtype == jnp.float32)
 
 
+def _read_rows(block: int, k: int) -> int:
+    """DMA row count: block + k - 1 rounded up to the (8, 128) f32 tiling."""
+    return block + -(-(k - 1) // 8) * 8
+
+
 def _kernel(k: int, block: int, sig_ref, win_ref, out_ref, seg, sem):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
-        sig_ref.at[pl.ds(i * block, block + k - 1), :], seg, sem)
+        sig_ref.at[pl.ds(i * block, _read_rows(block, k)), :], seg, sem)
     copy.start()
     copy.wait()
     step = seg.shape[1]
@@ -58,9 +63,11 @@ def frame_window(padded, window, window_length: int, step: int,
     samples; surplus frames produced by block rounding are trimmed.
     """
     k = window_length // step
-    block = min(BLOCK_FRAMES, number_times)
+    block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
-    rows = t_pad + k - 1
+    # The last grid step DMAs _read_rows(block, k) rows from row
+    # (t_pad - block); size the row grid so that read stays in bounds.
+    rows = t_pad - block + _read_rows(block, k)
     need = rows * step
     padded = padded[:need]
     if padded.shape[0] < need:
@@ -80,7 +87,7 @@ def frame_window(padded, window, window_length: int, step: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, window_length), padded.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block + k - 1, step), padded.dtype),
+            pltpu.VMEM((_read_rows(block, k), step), padded.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

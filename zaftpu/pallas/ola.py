@@ -28,10 +28,15 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_ROWS = 256  # output rows (of `step` samples) per grid step
 
 
+def _read_rows(block: int, k: int) -> int:
+    """DMA row count: block + k - 1 rounded up to the (8, 128) f32 tiling."""
+    return block + -(-(k - 1) // 8) * 8
+
+
 def _kernel(k: int, block: int, frames_ref, out_ref, seg, sem):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
-        frames_ref.at[pl.ds(i * block, block + k - 1), :, :], seg, sem)
+        frames_ref.at[pl.ds(i * block, _read_rows(block, k)), :, :], seg, sem)
     copy.start()
     copy.wait()
     # out row r (local) = sum_c seg[r + (K-1) - c, c]
@@ -51,11 +56,13 @@ def overlap_add(frames, step: int, interpret: bool = False):
     t, wl = frames.shape
     k = wl // step
     out_rows = t + k - 1
-    block = min(BLOCK_ROWS, out_rows)
+    block = min(BLOCK_ROWS, -(-out_rows // 8) * 8)
     rows_pad = block * (-(-out_rows // block))
-    # (T, K, step) with K-1 zero frames on top and tail padding for the grid.
+    # (T, K, step) with K-1 zero frames on top, plus tail padding so the last
+    # grid step's tiling-aligned DMA read stays in bounds.
+    total_rows = rows_pad - block + _read_rows(block, k)
     chunks = frames.reshape(t, k, step)
-    chunks = jnp.pad(chunks, ((k - 1, rows_pad - out_rows + k - 1),
+    chunks = jnp.pad(chunks, ((k - 1, total_rows - t - (k - 1)),
                               (0, 0), (0, 0)))
 
     out = pl.pallas_call(
@@ -66,7 +73,7 @@ def overlap_add(frames, step: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, step), frames.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block + k - 1, k, step), frames.dtype),
+            pltpu.VMEM((_read_rows(block, k), k, step), frames.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
