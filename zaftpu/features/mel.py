@@ -117,7 +117,7 @@ def melspectrogram(audio_signal, window_function, step_length, mel_filterbank):
     """
     fbank = jnp.asarray(_as_dense(mel_filterbank))
     return _melspectrogram_core(jnp.asarray(audio_signal),
-                                jnp.asarray(np.asarray(window_function)),
+                                jnp.asarray(window_function),
                                 fbank, int(step_length))
 
 
@@ -145,6 +145,6 @@ def mfcc(audio_signal, window_function, step_length, mel_filterbank,
     fbank = _as_dense(mel_filterbank)
     dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
     return _mfcc_core(jnp.asarray(audio_signal),
-                      jnp.asarray(np.asarray(window_function)),
+                      jnp.asarray(window_function),
                       jnp.asarray(fbank), jnp.asarray(dct_mat),
                       int(step_length), int(number_coefficients))

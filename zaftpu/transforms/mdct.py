@@ -79,8 +79,8 @@ def mdct(audio_signal, window_function):
         ``number_times = ceil(N/(WL/2)) + 1`` — reference zaf.py:984-1075
         semantics.
     """
-    window_function = np.asarray(window_function)
     audio_signal = jnp.asarray(audio_signal)
+    window_function = jnp.asarray(window_function)
     pre, post = _forward_twiddles(window_function.shape[0])
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     return _mdct_core(audio_signal, jnp.asarray(window_function),
@@ -122,6 +122,6 @@ def imdct(audio_mdct, window_function):
     audio_mdct = jnp.asarray(audio_mdct)
     pre, post = _inverse_twiddles(audio_mdct.shape[-2])
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
-    return _imdct_core(audio_mdct, jnp.asarray(np.asarray(window_function)),
+    return _imdct_core(audio_mdct, jnp.asarray(window_function),
                        jnp.asarray(pre.astype(ctype)),
                        jnp.asarray(post.astype(ctype)))

@@ -65,7 +65,7 @@ def stft(audio_signal, window_function, step_length: int):
         ``(..., window_length, number_times)``.
     """
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(np.asarray(window_function))
+    window_function = jnp.asarray(window_function)
     half = _stft_frames_half(audio_signal, window_function, int(step_length))
     full = _fft.full_from_half(half, window_function.shape[0])
     return jnp.swapaxes(full, -1, -2)
@@ -112,7 +112,7 @@ def spectrogram(audio_signal, window_function, step_length: int):
     rfft half-spectrum so the mirrored bins are never materialized.
     """
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(np.asarray(window_function))
+    window_function = jnp.asarray(window_function)
     half = _stft_frames_half(audio_signal, window_function, int(step_length))
     mag = jnp.abs(half[..., 1:])
     return jnp.swapaxes(mag, -1, -2)
