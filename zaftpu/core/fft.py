@@ -47,6 +47,59 @@ def full_from_half(half: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.concatenate([half, mirror], axis=-1)
 
 
+from functools import lru_cache
+
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def _four_step_factors(n: int):
+    """Split ``n = n1*n2`` (powers of two, near-square) and precompute the
+    DFT/twiddle matrices on host in float64."""
+    if n & (n - 1):
+        raise ValueError(f"matmul_fft needs a power-of-two length, got {n}")
+    log = n.bit_length() - 1
+    n1 = 1 << (log // 2)
+    n2 = n // n1
+    w1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    w2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    twiddle = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n)
+    return n1, n2, w1, w2, twiddle
+
+
+def matmul_fft(x: jnp.ndarray) -> jnp.ndarray:
+    """Full complex FFT along the last axis via the four-step (Bailey)
+    algorithm: two MXU matmul stages plus a twiddle multiply.
+
+    O(N·(N1+N2)) FLOPs instead of O(N log N) — a deliberate trade: on TPU the
+    matmuls run on the systolic array and, unlike XLA's FFT op, compile in
+    seconds at large N (XLA's 32k-point FFT takes ~276 s to compile on v5e).
+    Power-of-two lengths only. The CQT avoids even this by folding its FFT
+    into the kernel operator; this is the general fallback for any future
+    large-N spectral op.
+
+    With ``n = n1*n2``, ``n = n1 + N1*n2`` index split and ``k = k2 + N2*k1``:
+    ``X[k2+N2*k1] = sum_n1 W1[n1,k1] * Tw[n1,k2] * sum_n2 A[n1,n2] W2[n2,k2]``
+    where ``A[n1,n2] = x[n1+N1*n2]``.
+    """
+    n = x.shape[-1]
+    n1, n2, w1, w2, twiddle = _four_step_factors(n)
+    cdtype = jnp.complex64 if jnp.result_type(x, jnp.float32) == jnp.float32 \
+        else jnp.complex128
+    a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2).astype(cdtype)
+    b = jnp.matmul(a, jnp.asarray(w2.astype(cdtype)),
+                   preferred_element_type=cdtype)
+    b = b * jnp.asarray(twiddle.astype(cdtype))
+    c = jnp.einsum("nk,...nm->...km", jnp.asarray(w1.astype(cdtype)), b)
+    return c.reshape(*x.shape[:-1], n)
+
+
+def matmul_rfft(x: jnp.ndarray) -> jnp.ndarray:
+    """Real-input spectrum bins ``0..N/2`` via :func:`matmul_fft`."""
+    n = x.shape[-1]
+    return matmul_fft(x)[..., : n // 2 + 1]
+
+
 def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:
     """``real(ifft(X))`` along the last axis (reference zaf.py:223).
 
