@@ -78,3 +78,14 @@ def test_cache_dir_default(monkeypatch, tmp_path):
     import os
 
     assert os.path.isdir(d)
+
+
+def test_config_factories():
+    from zaftpu.config import CqtConfig, MelConfig, StftConfig
+
+    sc = StftConfig()
+    assert sc.window_array().shape == (2048,)
+    mc = MelConfig()
+    assert mc.filterbank().shape == (40, 1024)
+    cc = CqtConfig(octave_resolution=12, maximum_frequency=880.0)
+    assert cc.kernel().number_frequencies == 48

@@ -36,6 +36,12 @@ class StftConfig:
         wl = default_window_length(sampling_frequency)
         return cls(window_length=wl, step_length=wl // overlap)
 
+    def window_array(self):
+        """The configured window as a float64 host array."""
+        from zaftpu.core.windows import get_window
+
+        return get_window(self.window, self.window_length)
+
 
 @dataclasses.dataclass(frozen=True)
 class MelConfig:
@@ -45,6 +51,13 @@ class MelConfig:
     window_length: int = 2048
     number_mels: int = 40
     number_coefficients: int = 20
+
+    def filterbank(self):
+        """The configured mel filterbank (cached)."""
+        from zaftpu.features.mel import melfilterbank
+
+        return melfilterbank(self.sampling_frequency, self.window_length,
+                             self.number_mels)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +69,13 @@ class CqtConfig:
     minimum_frequency: float = 55.0
     maximum_frequency: float = 3520.0
     time_resolution: int = 25
+
+    def kernel(self):
+        """The configured CQT kernel (memory- and disk-cached)."""
+        from zaftpu.transforms.cqt import cqtkernel
+
+        return cqtkernel(self.sampling_frequency, self.octave_resolution,
+                         self.minimum_frequency, self.maximum_frequency)
 
 
 @dataclasses.dataclass(frozen=True)
