@@ -58,11 +58,12 @@ def run_transform_suite(seconds: float = 60.0, reps: int = 3):
         return _
 
     spec = zaftpu.stft(signal, window, step)
+    from zaftpu.transforms.stft import spectrogram
+
     bench("stft", lambda x: zaftpu.stft(x, window, step), t_stft, signal)
     bench("istft", lambda s: zaftpu.istft(s, window, step), t_stft, spec)
-    bench("spectrogram",
-          lambda x: __import__("zaftpu.transforms.stft", fromlist=["s"])
-          .spectrogram(x, window, step), t_stft, signal)
+    bench("spectrogram", lambda x: spectrogram(x, window, step), t_stft,
+          signal)
     bench("melspectrogram",
           lambda x: zaftpu.melspectrogram(x, window, step, fbank), t_stft,
           signal)

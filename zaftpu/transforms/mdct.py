@@ -83,7 +83,7 @@ def mdct(audio_signal, window_function):
     window_function = jnp.asarray(window_function)
     pre, post = _forward_twiddles(window_function.shape[0])
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
-    return _mdct_core(audio_signal, jnp.asarray(window_function),
+    return _mdct_core(audio_signal, window_function,
                       jnp.asarray(pre.astype(ctype)),
                       jnp.asarray(post.astype(ctype)))
 
