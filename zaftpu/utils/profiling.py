@@ -48,7 +48,10 @@ class TransformStats:
 
 def _block(x):
     if hasattr(x, "block_until_ready"):
+        # block_until_ready alone can return early through remote-device
+        # tunnels; a dependent one-element fetch guarantees completion.
         x.block_until_ready()
+        jax.device_get(x.reshape(-1)[-1])
     elif isinstance(x, dict):
         for v in x.values():
             _block(v)
