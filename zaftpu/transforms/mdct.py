@@ -16,13 +16,11 @@ two-shifted-view sum from ``zaftpu.core.frame``.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from zaftpu.core import frame as _frame
 
 
 @lru_cache(maxsize=32)
