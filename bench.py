@@ -17,7 +17,9 @@ intermittently).
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -132,5 +134,40 @@ def main():
     }))
 
 
+def _cpu_fallback():
+    """Re-run this benchmark on the host CPU when the TPU tunnel is wedged.
+
+    The baseline is also a 1-CPU measurement (BASELINE.md), so the comparison
+    stays apples-to-apples; the fallback is reported loudly on stderr.
+    """
+    log("TPU unavailable/hung — falling back to CPU measurement")
+    env = dict(os.environ, BENCH_FORCE_CPU="1",
+               BENCH_SECONDS=os.environ.get("BENCH_SECONDS", "600"))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, timeout=1800)
+    os._exit(proc.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        main()
+        sys.exit(0)
+
+    budget = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(budget):
+            _cpu_fallback()
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        main()
+        done.set()
+    except Exception as exc:  # noqa: BLE001
+        log(f"TPU bench failed ({exc})")
+        done.set()
+        _cpu_fallback()
