@@ -152,3 +152,28 @@ def test_f32_sharded_stft(signal, window, mesh):
     ref = np.asarray(zaftpu.stft(x32, w32, STEP))
     out = np.asarray(stft_sharded(x32, w32, STEP, mesh))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_large_overlap_tiny_shards(signal):
+    """K=4 overlap (step = WL/4) with shards so small that both the analysis
+    halo and the OLA spill span multiple shards — exercises multi-hop
+    pull_from_right and push_right_sum."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    wl, step = 512, 128
+    win = hamming(wl)
+    short = signal[:int(9.5 * 8 * step)]  # ~9 frames per shard at 8 shards
+    mesh8 = make_mesh(8)
+    spec_ref = np.asarray(zaftpu.stft(short, win, step))
+    spec = np.asarray(stft_sharded(short, win, step, mesh8))
+    np.testing.assert_allclose(spec, spec_ref, atol=1e-13)
+    rec_ref = np.asarray(zaftpu.istft(spec_ref, win, step))
+    rec = np.asarray(istft_sharded(spec_ref, win, step, mesh8))
+    np.testing.assert_allclose(rec, rec_ref, atol=1e-13)
+
+    # Even tinier: 2 frames per shard -> spill spans 2 shards.
+    tiny = signal[:8 * 2 * step]
+    spec_ref2 = np.asarray(zaftpu.stft(tiny, win, step))
+    rec_ref2 = np.asarray(zaftpu.istft(spec_ref2, win, step))
+    rec2 = np.asarray(istft_sharded(spec_ref2, win, step, mesh8))
+    np.testing.assert_allclose(rec2, rec_ref2, atol=1e-13)

@@ -61,12 +61,16 @@ def pull_from_right(block: jnp.ndarray, halo: int, axis_name: str):
 
 
 def push_right_sum(body: jnp.ndarray, tail: jnp.ndarray, axis_name: str):
-    """Send ``tail`` to the right neighbor; add the tail received from the
-    left neighbor onto the start of ``body`` (last axis).
+    """Send ``tail`` to the right neighbor(s); add the spill received from
+    the left onto the start of ``body`` (last axis).
 
     This is the overlap-add boundary exchange: shard i's local OLA spills
-    ``tail.shape[-1]`` samples into shard i+1's territory. Shard 0 receives
-    zeros.
+    ``tail.shape[-1]`` samples into the territory of shard i+1 (and, when the
+    spill is longer than one body — large overlap on tiny shards — into
+    i+2, ...): chunk c of the tail lands at the start of shard i+1+c. Edge
+    shards' spill beyond the last body is dropped, matching the global-trim
+    semantics (callers size the body so everything trimmed is zero-region).
+    Shard 0 receives zeros.
     """
     halo = tail.shape[-1]
     if halo == 0:
@@ -74,6 +78,13 @@ def push_right_sum(body: jnp.ndarray, tail: jnp.ndarray, axis_name: str):
     n = jax.lax.axis_size(axis_name)
     if n == 1:
         return body
-    received = jax.lax.ppermute(
-        tail, axis_name, [(i, i + 1) for i in range(n - 1)])
-    return body.at[..., :halo].add(received)
+    body_len = body.shape[-1]
+    hops = -(-halo // body_len)
+    for c in range(hops):
+        piece = tail[..., c * body_len:(c + 1) * body_len]
+        if n - 1 - c <= 0:
+            break
+        received = jax.lax.ppermute(
+            piece, axis_name, [(i, i + 1 + c) for i in range(n - 1 - c)])
+        body = body.at[..., :piece.shape[-1]].add(received)
+    return body
