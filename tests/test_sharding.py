@@ -177,3 +177,12 @@ def test_large_overlap_tiny_shards(signal):
     rec_ref2 = np.asarray(zaftpu.istft(spec_ref2, win, step))
     rec2 = np.asarray(istft_sharded(spec_ref2, win, step, mesh8))
     np.testing.assert_allclose(rec2, rec_ref2, atol=1e-13)
+
+
+def test_cqt_sharded_f64(signal, mesh):
+    """f64 sharded CQT (fused matmul) vs the single-device f64 rfft oracle
+    path — different algorithms, same math, f64-tight agreement."""
+    kern = zaftpu.cqtkernel(44100, 24, 55, 3520)
+    ref = np.asarray(zaftpu.cqtspectrogram(signal, 44100, 25, kern))
+    out = np.asarray(cqtspectrogram_sharded(signal, 44100, 25, kern, mesh))
+    np.testing.assert_allclose(out, ref, atol=1e-11)

@@ -377,7 +377,8 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
 
 def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
                            cqt_kernel, mesh, axis_name: str = FRAME_AXIS):
-    """Frame-block-sharded CQT spectrogram (float32 fused-matmul path).
+    """Frame-block-sharded CQT spectrogram (fused time-domain matmul path,
+    in the input's dtype).
 
     The halo here is ``fft_length - step`` samples (the CQT's analysis reach,
     ~31k samples at the default kernel) — pulled over as many ``ppermute``
@@ -392,10 +393,12 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
     pad_front = int(np.ceil((fft_length - step) / 2))
     t_pad, body_len = _plan_body(n, pad_front, fft_length, step, t,
                                  mesh.shape[axis_name])
+    kdtype = (np.float32 if audio_signal.dtype == jnp.float32
+              else np.float64)
     out = _cqt_core_sharded(
         audio_signal,
-        jnp.asarray(kern.time_kernel.real.T.astype(np.float32)),
-        jnp.asarray(kern.time_kernel.imag.T.astype(np.float32)),
+        jnp.asarray(kern.time_kernel.real.T.astype(kdtype)),
+        jnp.asarray(kern.time_kernel.imag.T.astype(kdtype)),
         step, fft_length, mesh, axis_name,
         (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES)
     return jnp.swapaxes(out, -1, -2)[..., :t]
