@@ -186,3 +186,15 @@ def test_cqt_sharded_f64(signal, mesh):
     ref = np.asarray(zaftpu.cqtspectrogram(signal, 44100, 25, kern))
     out = np.asarray(cqtspectrogram_sharded(signal, 44100, 25, kern, mesh))
     np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def test_shard_along_placement(signal):
+    from zaftpu.sharding import shard_along
+
+    mesh8 = make_mesh(8)
+    x = shard_along(signal[:8192], mesh8)
+    assert len(x.sharding.device_set) == 8
+    out = np.asarray(zaftpu.stft(x, hamming(512), 256))
+    np.testing.assert_allclose(
+        out, np.asarray(zaftpu.stft(signal[:8192], hamming(512), 256)),
+        atol=1e-12)

@@ -26,7 +26,7 @@ semantics; shapes and values match the reference within floating-point
 tolerance (float64 mode is bit-faithful up to rounding).
 """
 
-from zaftpu.transforms.stft import stft, istft
+from zaftpu.transforms.stft import stft, istft, spectrogram
 from zaftpu.transforms.dct import dct, dst
 from zaftpu.transforms.mdct import mdct, imdct
 from zaftpu.transforms.cqt import cqtkernel, cqtspectrogram, cqtchromagram
@@ -47,6 +47,7 @@ __version__ = "0.1.0"
 __all__ = [
     "stft",
     "istft",
+    "spectrogram",
     "melfilterbank",
     "melspectrogram",
     "mfcc",
