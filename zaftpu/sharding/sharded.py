@@ -121,8 +121,6 @@ def _stft_plan(n, wl, step, mesh, axis_name):
     return t, (pad_front, body_len, t_pad)
 
 
-@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads"))
 def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
                        axis_name, pads):
     pad_front, body_len, _ = pads
@@ -134,6 +132,19 @@ def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
         return _fft.rfft(frames * window_function.astype(frames.dtype))
 
     return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
+
+
+@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+                                   "pads", "t", "magnitude"))
+def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
+                       axis_name, pads, t, magnitude):
+    """Sharded STFT (or magnitude spectrogram) as one jitted dispatch."""
+    half = _stft_half_sharded(audio_signal, window_function, step_length,
+                              mesh, axis_name, pads)
+    if magnitude:
+        return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)[..., :t]
+    full = _fft.full_from_half(half, window_function.shape[0])
+    return jnp.swapaxes(full, -1, -2)[..., :t]
 
 
 def stft_sharded(audio_signal, window_function, step_length: int, mesh,
@@ -152,10 +163,9 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    half = _stft_half_sharded(audio_signal, window_function,
-                              int(step_length), mesh, axis_name, pads)
-    full = _fft.full_from_half(half, wl)
-    return jnp.swapaxes(full, -1, -2)[..., :t]
+    return _stft_full_sharded(audio_signal, window_function,
+                              int(step_length), mesh, axis_name, pads, t,
+                              False)
 
 
 def spectrogram_sharded(audio_signal, window_function, step_length: int,
@@ -166,9 +176,9 @@ def spectrogram_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    half = _stft_half_sharded(audio_signal, window_function,
-                              int(step_length), mesh, axis_name, pads)
-    return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)[..., :t]
+    return _stft_full_sharded(audio_signal, window_function,
+                              int(step_length), mesh, axis_name, pads, t,
+                              True)
 
 
 @partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
@@ -211,7 +221,24 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads", "power"))
+                                   "pads", "power", "t",
+                                   "number_coefficients"))
+def _mel_full_sharded(audio_signal, window_function, fbank_t, dct_t,
+                      step_length, mesh, axis_name, pads, power, t,
+                      number_coefficients):
+    """Sharded mel spectrogram (power=False) or MFCCs (power=True,
+    number_coefficients>0) in one jitted dispatch."""
+    mel = _mel_core_sharded(audio_signal, window_function, fbank_t,
+                            step_length, mesh, axis_name, pads, power)
+    if number_coefficients:
+        logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, mel.dtype))
+        cepstra = jnp.matmul(logmel, dct_t.astype(logmel.dtype),
+                             preferred_element_type=logmel.dtype)
+        out = jnp.swapaxes(cepstra, -1, -2)[..., :t]
+        return out[..., 1:number_coefficients + 1, :]
+    return jnp.swapaxes(mel, -1, -2)[..., :t]
+
+
 def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
                       mesh, axis_name, pads, power):
     pad_front, body_len, _ = pads
@@ -242,10 +269,10 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    mel = _mel_core_sharded(audio_signal, window_function,
-                            jnp.asarray(fbank.T), int(step_length), mesh,
-                            axis_name, pads, False)
-    return jnp.swapaxes(mel, -1, -2)[..., :t]
+    return _mel_full_sharded(audio_signal, window_function,
+                             jnp.asarray(fbank.T), jnp.zeros(()),
+                             int(step_length), mesh, axis_name, pads, False,
+                             t, 0)
 
 
 def mfcc_sharded(audio_signal, window_function, step_length: int,
@@ -259,21 +286,24 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    mel_power = _mel_core_sharded(audio_signal, window_function,
-                                  jnp.asarray(fbank.T), int(step_length),
-                                  mesh, axis_name, pads, True)
-    logmel = jnp.log(mel_power + jnp.asarray(_LOG_EPS, mel_power.dtype))
-    cepstra = jnp.matmul(logmel, jnp.asarray(dct_mat.T).astype(logmel.dtype),
-                         preferred_element_type=logmel.dtype)
-    out = jnp.swapaxes(cepstra, -1, -2)[..., :t]
-    return out[..., 1:number_coefficients + 1, :]
+    return _mel_full_sharded(audio_signal, window_function,
+                             jnp.asarray(fbank.T), jnp.asarray(dct_mat.T),
+                             int(step_length), mesh, axis_name, pads, True,
+                             t, int(number_coefficients))
 
 
 # ---------------------------------------------------------------------------
 # MDCT family
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads", "t"))
+def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
+                       axis_name, pads, t):
+    coeffs = _mdct_core_sharded(audio_signal, window_function, pre, post,
+                                mesh, axis_name, pads)
+    return jnp.swapaxes(coeffs, -1, -2)[..., :t]
+
+
 def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
                        axis_name, pads):
     pad_front, body_len, _ = pads
@@ -304,11 +334,10 @@ def mdct_sharded(audio_signal, window_function, mesh,
     t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
     pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
-    coeffs = _mdct_core_sharded(
+    return _mdct_full_sharded(
         audio_signal, jnp.asarray(window_function),
         jnp.asarray(pre.astype(ctype)), jnp.asarray(post.astype(ctype)),
-        mesh, axis_name, (step, body_len, t_pad))
-    return jnp.swapaxes(coeffs, -1, -2)[..., :t]
+        mesh, axis_name, (step, body_len, t_pad), t)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis_name", "t_pad"))
@@ -348,9 +377,11 @@ def imdct_sharded(audio_mdct, window_function, mesh,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("step_length", "fft_length", "mesh",
-                                   "axis_name", "pads", "block_frames"))
+                                   "axis_name", "pads", "block_frames", "t",
+                                   "octave_resolution"))
 def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
-                      fft_length, mesh, axis_name, pads, block_frames):
+                      fft_length, mesh, axis_name, pads, block_frames, t,
+                      octave_resolution):
     pad_front, body_len, _ = pads
     n = padless_signal.shape[-1]
     body = _pad_last(padless_signal, pad_front, body_len - pad_front - n)
@@ -370,9 +401,13 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
         return _cqt._blocked_matmul_impl(
             extended, m_real, m_imag, step_length, fft_length, t_local, b)
 
-    return jax.shard_map(
+    out = jax.shard_map(
         local, mesh=mesh, in_specs=P(*batch, axis_name),
         out_specs=P(*batch, axis_name, None))(body)
+    spec = jnp.swapaxes(out, -1, -2)[..., :t]
+    if octave_resolution:
+        return _cqt._octave_fold(spec, octave_resolution)
+    return spec
 
 
 def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
@@ -395,25 +430,34 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
                                  mesh.shape[axis_name])
     kdtype = (np.float32 if audio_signal.dtype == jnp.float32
               else np.float64)
-    out = _cqt_core_sharded(
+    return _cqt_core_sharded(
         audio_signal,
         jnp.asarray(kern.time_kernel.real.T.astype(kdtype)),
         jnp.asarray(kern.time_kernel.imag.T.astype(kdtype)),
         step, fft_length, mesh, axis_name,
-        (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES)
-    return jnp.swapaxes(out, -1, -2)[..., :t]
+        (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t, 0)
 
 
 def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
                           octave_resolution, cqt_kernel, mesh,
                           axis_name: str = FRAME_AXIS):
-    """Sharded CQT chromagram (octave fold of the sharded spectrogram)."""
-    spec = cqtspectrogram_sharded(audio_signal, sampling_frequency,
-                                  time_resolution, cqt_kernel, mesh,
-                                  axis_name)
-    f, t = spec.shape[-2], spec.shape[-1]
-    octaves = -(-f // octave_resolution)
-    padded = jnp.pad(spec, [(0, 0)] * (spec.ndim - 2)
-                     + [(0, octaves * octave_resolution - f), (0, 0)])
-    folded = padded.reshape(*spec.shape[:-2], octaves, octave_resolution, t)
-    return folded.sum(axis=-3)
+    """Sharded CQT chromagram — octave fold fused into the same single
+    jitted dispatch as the sharded spectrogram."""
+    kern = _cqt._as_kernel(cqt_kernel)
+    audio_signal = jnp.asarray(audio_signal)
+    step = round(float(sampling_frequency) / float(time_resolution))
+    n = int(audio_signal.shape[-1])
+    t = n // step
+    fft_length = kern.fft_length
+    pad_front = int(np.ceil((fft_length - step) / 2))
+    t_pad, body_len = _plan_body(n, pad_front, fft_length, step, t,
+                                 mesh.shape[axis_name])
+    kdtype = (np.float32 if audio_signal.dtype == jnp.float32
+              else np.float64)
+    return _cqt_core_sharded(
+        audio_signal,
+        jnp.asarray(kern.time_kernel.real.T.astype(kdtype)),
+        jnp.asarray(kern.time_kernel.imag.T.astype(kdtype)),
+        step, fft_length, mesh, axis_name,
+        (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t,
+        int(octave_resolution))

@@ -163,17 +163,20 @@ def _as_kernel(cqt_kernel) -> CqtKernel:
 _BLOCK_FRAMES = 128  # frames per on-device block (bounds memory at ~17 MB)
 
 
-@partial(jax.jit, static_argnames=("step_length", "fft_length",
-                                   "number_times", "block_frames"))
-def _cqt_apply(padded, k_reduced, gather_cols, conj_mask, step_length,
-               fft_length, number_times, block_frames):
-    """Blocked magnitude-CQT of a padded signal -> ``(T, F)`` frames-major.
+@partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
+                                   "number_times", "block_frames",
+                                   "octave_resolution"))
+def _cqt_apply(signal, k_reduced, gather_cols, conj_mask, pads, step_length,
+               fft_length, number_times, block_frames, octave_resolution=0):
+    """Blocked magnitude-CQT -> ``(F, T)`` (optionally octave-folded) in one
+    jitted program; frames-major rfft internally.
 
     ``k_reduced`` holds only the kernel's nonzero columns; ``gather_cols``
     maps each of them into the rfft half-spectrum, with ``conj_mask`` marking
     negative-frequency columns supplied via Hermitian symmetry
     ``X[k] = conj(X[L-k])``.
     """
+    padded = jnp.pad(signal, pads)
     blocks = -(-number_times // block_frames)
     starts = np.arange(block_frames) * step_length
     seg_len = (block_frames - 1) * step_length + fft_length
@@ -191,7 +194,10 @@ def _cqt_apply(padded, k_reduced, gather_cols, conj_mask, step_length,
         return jnp.abs(acc)                            # (B, F)
 
     out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
-    return out.reshape(blocks * block_frames, -1)[:number_times]
+    spec = out.reshape(blocks * block_frames, -1)[:number_times].T
+    if octave_resolution:
+        return _octave_fold(spec, octave_resolution)
+    return spec
 
 
 def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
@@ -214,18 +220,35 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
     return out.reshape(blocks * block_frames, -1)[:number_times]
 
 
-@partial(jax.jit, static_argnames=("step_length", "fft_length",
-                                   "number_times", "block_frames"))
-def _cqt_apply_matmul(padded, m_real, m_imag, step_length, fft_length,
-                      number_times, block_frames):
+@partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
+                                   "number_times", "block_frames",
+                                   "octave_resolution"))
+def _cqt_apply_matmul(signal, m_real, m_imag, pads, step_length, fft_length,
+                      number_times, block_frames, octave_resolution=0):
     """Fused time-domain CQT: frame blocks x FFT'd-kernel as two MXU matmuls.
 
     ``m_real``/``m_imag`` are the real/imaginary parts of ``FFT(kernel rows)``
     transposed to ``(fft_length, F)``; no on-device FFT, no gather — the
-    float32 TPU fast path.
+    float32 TPU fast path. Padding, transpose, and (optionally, when
+    ``octave_resolution > 0``) the chromagram octave fold all run inside this
+    one jitted program — a single device dispatch end to end.
     """
-    return _blocked_matmul_impl(padded, m_real, m_imag, step_length,
-                                fft_length, number_times, block_frames)
+    padded = jnp.pad(signal, pads)
+    out = _blocked_matmul_impl(padded, m_real, m_imag, step_length,
+                               fft_length, number_times, block_frames)
+    spec = out.T                                        # (F, T)
+    if octave_resolution:
+        return _octave_fold(spec, octave_resolution)
+    return spec
+
+
+def _octave_fold(spec, octave_resolution):
+    """chroma[i] = sum_k spec[..., i + k*OR, :] (reference zaf.py:693-698)."""
+    *lead, f, t = spec.shape
+    octaves = -(-f // octave_resolution)
+    padded = jnp.pad(spec, [(0, 0)] * len(lead)
+                     + [(0, octaves * octave_resolution - f), (0, 0)])
+    return padded.reshape(*lead, octaves, octave_resolution, t).sum(axis=-3)
 
 
 def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
@@ -242,38 +265,42 @@ def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
     number_times = int(audio_signal.shape[-1] // step)
     fft_length = kern.fft_length
 
+    return _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
+                         octave_resolution=0)
+
+
+def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
+                  octave_resolution):
     pad_front = int(np.ceil((fft_length - step) / 2))
     pad_back = int(np.floor((fft_length - step) / 2))
     # Extra zeros so the last lax.map block can always slice a full segment.
     blocks = -(-number_times // _BLOCK_FRAMES)
     needed = ((blocks * _BLOCK_FRAMES - 1) * step + fft_length)
     have = int(audio_signal.shape[-1]) + pad_front + pad_back
-    padded = jnp.pad(audio_signal,
-                     (pad_front, pad_back + max(0, needed - have)))
+    pads = (pad_front, pad_back + max(0, needed - have))
 
-    if padded.dtype == jnp.float32:
+    if audio_signal.dtype == jnp.float32:
         # f32 fast path: fused time-domain operator, pure MXU matmuls.
-        out = _cqt_apply_matmul(
-            padded,
+        return _cqt_apply_matmul(
+            audio_signal,
             jnp.asarray(kern.time_kernel.real.T.astype(np.float32)),
             jnp.asarray(kern.time_kernel.imag.T.astype(np.float32)),
-            step, fft_length, number_times, _BLOCK_FRAMES)
-    else:
-        # f64 oracle path: batched rfft + reduced kernel matmul, matching the
-        # reference's FFT rounding for bit-level parity gates.
-        k_reduced = np.concatenate([kern.reduced_low, kern.reduced_high],
-                                   axis=1)
-        all_cols = np.concatenate([kern.columns_low, kern.columns_high])
-        gather_cols = np.where(all_cols <= fft_length // 2, all_cols,
-                               fft_length - all_cols)
-        conj_mask = all_cols > fft_length // 2
-        out = _cqt_apply(
-            padded,
-            jnp.asarray(k_reduced.astype(np.complex128)),
-            jnp.asarray(gather_cols.astype(np.int32)),
-            jnp.asarray(conj_mask),
-            step, fft_length, number_times, _BLOCK_FRAMES)
-    return out.T
+            pads, step, fft_length, number_times, _BLOCK_FRAMES,
+            octave_resolution)
+    # f64 oracle path: batched rfft + reduced kernel matmul, matching the
+    # reference's FFT rounding for bit-level parity gates.
+    k_reduced = np.concatenate([kern.reduced_low, kern.reduced_high], axis=1)
+    all_cols = np.concatenate([kern.columns_low, kern.columns_high])
+    gather_cols = np.where(all_cols <= fft_length // 2, all_cols,
+                           fft_length - all_cols)
+    conj_mask = all_cols > fft_length // 2
+    return _cqt_apply(
+        audio_signal,
+        jnp.asarray(k_reduced.astype(np.complex128)),
+        jnp.asarray(gather_cols.astype(np.int32)),
+        jnp.asarray(conj_mask),
+        pads, step, fft_length, number_times, _BLOCK_FRAMES,
+        octave_resolution)
 
 
 def cqtchromagram(audio_signal, sampling_frequency, time_resolution,
@@ -281,14 +308,12 @@ def cqtchromagram(audio_signal, sampling_frequency, time_resolution,
     """CQT chromagram ``(octave_resolution, number_times)``.
 
     Octave fold of the CQT spectrogram: chroma ``i`` sums channels
-    ``i, i+OR, i+2*OR, ...`` (reference zaf.py:638-700) — expressed as a
-    zero-padded reshape-sum instead of the reference's per-chroma loop.
+    ``i, i+OR, i+2*OR, ...`` (reference zaf.py:638-700) — a zero-padded
+    reshape-sum fused into the same single-dispatch CQT program.
     """
-    spectrogram = cqtspectrogram(audio_signal, sampling_frequency,
-                                 time_resolution, cqt_kernel)
-    number_frequencies, number_times = spectrogram.shape
-    octaves = -(-number_frequencies // octave_resolution)
-    padded = jnp.pad(
-        spectrogram,
-        ((0, octaves * octave_resolution - number_frequencies), (0, 0)))
-    return padded.reshape(octaves, octave_resolution, number_times).sum(axis=0)
+    kern = _as_kernel(cqt_kernel)
+    audio_signal = jnp.asarray(audio_signal)
+    step = round(float(sampling_frequency) / float(time_resolution))
+    number_times = int(audio_signal.shape[-1] // step)
+    return _cqt_dispatch(audio_signal, kern, step, number_times,
+                         kern.fft_length, int(octave_resolution))

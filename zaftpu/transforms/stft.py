@@ -50,6 +50,13 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     return _fft.rfft(frames)
 
 
+@partial(jax.jit, static_argnames=("step_length",))
+def _stft_full(audio_signal, window_function, step_length):
+    half = _stft_frames_half(audio_signal, window_function, step_length)
+    full = _fft.full_from_half(half, window_function.shape[0])
+    return jnp.swapaxes(full, -1, -2)
+
+
 def stft(audio_signal, window_function, step_length: int):
     """Short-time Fourier transform.
 
@@ -63,12 +70,13 @@ def stft(audio_signal, window_function, step_length: int):
         including DC and mirrored negative-frequency bins, identical layout
         and values to reference zaf.py:45-141. Batched inputs return
         ``(..., window_length, number_times)``.
+
+    The whole transform is one jitted device program (a single dispatch —
+    this matters on remote-tunnel deployments where every eager op pays a
+    network round trip).
     """
-    audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(window_function)
-    half = _stft_frames_half(audio_signal, window_function, int(step_length))
-    full = _fft.full_from_half(half, window_function.shape[0])
-    return jnp.swapaxes(full, -1, -2)
+    return _stft_full(jnp.asarray(audio_signal),
+                      jnp.asarray(window_function), int(step_length))
 
 
 @partial(jax.jit, static_argnames=("step_length", "gain"))
@@ -104,6 +112,12 @@ def istft(audio_stft, window_function, step_length: int):
     return _istft_core(audio_stft, int(step_length), gain)
 
 
+@partial(jax.jit, static_argnames=("step_length",))
+def _spectrogram_core(audio_signal, window_function, step_length):
+    half = _stft_frames_half(audio_signal, window_function, step_length)
+    return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)
+
+
 def spectrogram(audio_signal, window_function, step_length: int):
     """Magnitude spectrogram over bins ``1..WL/2`` — DC dropped, Nyquist kept.
 
@@ -111,8 +125,5 @@ def spectrogram(audio_signal, window_function, step_length: int):
     (``abs(stft[1:WL/2+1, :])``, zaf.py:370); computed here directly from the
     rfft half-spectrum so the mirrored bins are never materialized.
     """
-    audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(window_function)
-    half = _stft_frames_half(audio_signal, window_function, int(step_length))
-    mag = jnp.abs(half[..., 1:])
-    return jnp.swapaxes(mag, -1, -2)
+    return _spectrogram_core(jnp.asarray(audio_signal),
+                             jnp.asarray(window_function), int(step_length))
