@@ -27,6 +27,7 @@ tolerance (float64 mode is bit-faithful up to rounding).
 """
 
 from zaftpu.transforms.stft import stft, istft, spectrogram
+from zaftpu.transforms.griffinlim import griffin_lim
 from zaftpu.transforms.dct import dct, dst
 from zaftpu.transforms.mdct import mdct, imdct
 from zaftpu.transforms.cqt import cqtkernel, cqtspectrogram, cqtchromagram
@@ -48,6 +49,7 @@ __all__ = [
     "stft",
     "istft",
     "spectrogram",
+    "griffin_lim",
     "melfilterbank",
     "melspectrogram",
     "mfcc",
