@@ -70,9 +70,13 @@ def sync(x):
 
 
 def timed_chunks(fn, inputs, reps=3):
-    """Best-of-reps wall time: dispatch all chunk calls back-to-back, sync
-    once on the last output (device execution is in-order). Warmup retries
-    transient remote-compile errors."""
+    """Per-pass wall time over all chunks, amortized across ``reps`` passes:
+    every call is dispatched back-to-back and a single dependent fetch at the
+    end synchronizes (device execution is in-order, so completion of the last
+    output implies all finished). This measures device throughput rather than
+    per-call host/tunnel latency. Warmup retries transient remote-compile
+    errors. Returns ``(seconds_per_pass, outputs_of_last_pass)``."""
+    outs = None
     for attempt in range(3):
         try:
             outs = [fn(x) for x in inputs]
@@ -83,13 +87,14 @@ def timed_chunks(fn, inputs, reps=3):
                 raise
             log(f"warmup attempt {attempt + 1} failed ({exc}); retrying")
             time.sleep(10)
-    best = float("inf")
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
+        # Keep only the latest outputs referenced so earlier passes' buffers
+        # free as soon as their computations finish.
         outs = [fn(x) for x in inputs]
-        sync(outs[-1])
-        best = min(best, time.perf_counter() - t0)
-    return best, outs
+    sync(outs[-1])
+    total = time.perf_counter() - t0
+    return total / reps, outs
 
 
 def main():

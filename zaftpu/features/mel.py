@@ -115,9 +115,11 @@ def melspectrogram(audio_signal, window_function, step_length, mel_filterbank):
     semantics zaf.py:324-375). ``mel_filterbank`` may be the dense array from
     :func:`melfilterbank` or a scipy sparse matrix.
     """
-    fbank = jnp.asarray(_as_dense(mel_filterbank))
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
+    fbank = device_constant(_as_dense(mel_filterbank))
     return _melspectrogram_core(jnp.asarray(audio_signal),
-                                jnp.asarray(window_function),
+                                as_device_constant(window_function),
                                 fbank, int(step_length))
 
 
@@ -142,9 +144,11 @@ def mfcc(audio_signal, window_function, step_length, mel_filterbank,
     Power spectrogram -> mel matmul -> log(+eps) -> orthonormal DCT-II along
     the mel axis -> coefficients 1..C. Both matmuls run on the MXU.
     """
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     fbank = _as_dense(mel_filterbank)
     dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
     return _mfcc_core(jnp.asarray(audio_signal),
-                      jnp.asarray(window_function),
-                      jnp.asarray(fbank), jnp.asarray(dct_mat),
+                      as_device_constant(window_function),
+                      device_constant(fbank), device_constant(dct_mat),
                       int(step_length), int(number_coefficients))

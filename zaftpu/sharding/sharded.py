@@ -158,8 +158,10 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     the time axis (and batched leading dims over the mesh's batch axis, if
     present).
     """
+    from zaftpu.utils.devcache import as_device_constant
+
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(np.asarray(window_function))
+    window_function = as_device_constant(window_function)
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
@@ -171,8 +173,10 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
 def spectrogram_sharded(audio_signal, window_function, step_length: int,
                         mesh, axis_name: str = FRAME_AXIS):
     """Sharded magnitude spectrogram over bins ``1..WL/2`` (``(WL/2, T)``)."""
+    from zaftpu.utils.devcache import as_device_constant
+
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(np.asarray(window_function))
+    window_function = as_device_constant(window_function)
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
@@ -263,14 +267,17 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     """Sharded mel spectrogram ``(number_mels, T)`` — filterbank replicated,
     spectrogram frames sharded; one fused windowed-rfft + MXU matmul per
     shard."""
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(np.asarray(window_function))
+    window_function = as_device_constant(window_function)
     fbank = _as_dense(mel_filterbank)
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     return _mel_full_sharded(audio_signal, window_function,
-                             jnp.asarray(fbank.T), jnp.zeros(()),
+                             device_constant(np.ascontiguousarray(fbank.T)),
+                             jnp.zeros(()),
                              int(step_length), mesh, axis_name, pads, False,
                              t, 0)
 
@@ -279,15 +286,18 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
                  mel_filterbank, number_coefficients: int, mesh,
                  axis_name: str = FRAME_AXIS):
     """Sharded MFCCs ``(number_coefficients, T)``."""
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(np.asarray(window_function))
+    window_function = as_device_constant(window_function)
     fbank = _as_dense(mel_filterbank)
     dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     return _mel_full_sharded(audio_signal, window_function,
-                             jnp.asarray(fbank.T), jnp.asarray(dct_mat.T),
+                             device_constant(np.ascontiguousarray(fbank.T)),
+                             device_constant(np.ascontiguousarray(dct_mat.T)),
                              int(step_length), mesh, axis_name, pads, True,
                              t, int(number_coefficients))
 
@@ -334,9 +344,11 @@ def mdct_sharded(audio_signal, window_function, mesh,
     t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
     pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     return _mdct_full_sharded(
-        audio_signal, jnp.asarray(window_function),
-        jnp.asarray(pre.astype(ctype)), jnp.asarray(post.astype(ctype)),
+        audio_signal, as_device_constant(window_function),
+        device_constant(pre, ctype), device_constant(post, ctype),
         mesh, axis_name, (step, body_len, t_pad), t)
 
 
@@ -366,9 +378,11 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     t_pad = n_shards * (-(-t // n_shards))
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     return _imdct_core_sharded(
-        audio_mdct, jnp.asarray(np.asarray(window_function)),
-        jnp.asarray(pre.astype(ctype)), jnp.asarray(post.astype(ctype)),
+        audio_mdct, as_device_constant(window_function),
+        device_constant(pre, ctype), device_constant(post, ctype),
         mesh, axis_name, t_pad)
 
 
@@ -430,10 +444,9 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
                                  mesh.shape[axis_name])
     kdtype = (np.float32 if audio_signal.dtype == jnp.float32
               else np.float64)
+    m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
     return _cqt_core_sharded(
-        audio_signal,
-        jnp.asarray(kern.time_kernel.real.T.astype(kdtype)),
-        jnp.asarray(kern.time_kernel.imag.T.astype(kdtype)),
+        audio_signal, m_real, m_imag,
         step, fft_length, mesh, axis_name,
         (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t, 0)
 
@@ -454,10 +467,9 @@ def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
                                  mesh.shape[axis_name])
     kdtype = (np.float32 if audio_signal.dtype == jnp.float32
               else np.float64)
+    m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
     return _cqt_core_sharded(
-        audio_signal,
-        jnp.asarray(kern.time_kernel.real.T.astype(kdtype)),
-        jnp.asarray(kern.time_kernel.imag.T.astype(kdtype)),
+        audio_signal, m_real, m_imag,
         step, fft_length, mesh, axis_name,
         (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t,
         int(octave_resolution))

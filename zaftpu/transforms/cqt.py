@@ -269,6 +269,45 @@ def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
                          octave_resolution=0)
 
 
+_device_kernels: dict = {}
+
+
+def _device_time_kernel(kern: CqtKernel, dtype):
+    """Device-resident (m_real, m_imag) for the fused matmul path, uploaded
+    once per (kernel, dtype); the kernel object is pinned so its id is
+    stable."""
+    key = (id(kern), np.dtype(dtype).name, "time")
+    hit = _device_kernels.get(key)
+    if hit is None:
+        m_real = jnp.asarray(
+            np.ascontiguousarray(kern.time_kernel.real.T).astype(dtype))
+        m_imag = jnp.asarray(
+            np.ascontiguousarray(kern.time_kernel.imag.T).astype(dtype))
+        hit = (kern, m_real, m_imag)
+        _device_kernels[key] = hit
+    return hit[1], hit[2]
+
+
+def _device_oracle_kernel(kern: CqtKernel):
+    """Device-resident reduced spectral kernel for the f64 oracle path."""
+    key = (id(kern), "oracle")
+    hit = _device_kernels.get(key)
+    if hit is None:
+        fft_length = kern.fft_length
+        k_reduced = np.concatenate([kern.reduced_low, kern.reduced_high],
+                                   axis=1)
+        all_cols = np.concatenate([kern.columns_low, kern.columns_high])
+        gather_cols = np.where(all_cols <= fft_length // 2, all_cols,
+                               fft_length - all_cols)
+        conj_mask = all_cols > fft_length // 2
+        hit = (kern,
+               jnp.asarray(k_reduced.astype(np.complex128)),
+               jnp.asarray(gather_cols.astype(np.int32)),
+               jnp.asarray(conj_mask))
+        _device_kernels[key] = hit
+    return hit[1], hit[2], hit[3]
+
+
 def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
                   octave_resolution):
     pad_front = int(np.ceil((fft_length - step) / 2))
@@ -281,24 +320,16 @@ def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
 
     if audio_signal.dtype == jnp.float32:
         # f32 fast path: fused time-domain operator, pure MXU matmuls.
+        m_real, m_imag = _device_time_kernel(kern, np.float32)
         return _cqt_apply_matmul(
-            audio_signal,
-            jnp.asarray(kern.time_kernel.real.T.astype(np.float32)),
-            jnp.asarray(kern.time_kernel.imag.T.astype(np.float32)),
+            audio_signal, m_real, m_imag,
             pads, step, fft_length, number_times, _BLOCK_FRAMES,
             octave_resolution)
     # f64 oracle path: batched rfft + reduced kernel matmul, matching the
     # reference's FFT rounding for bit-level parity gates.
-    k_reduced = np.concatenate([kern.reduced_low, kern.reduced_high], axis=1)
-    all_cols = np.concatenate([kern.columns_low, kern.columns_high])
-    gather_cols = np.where(all_cols <= fft_length // 2, all_cols,
-                           fft_length - all_cols)
-    conj_mask = all_cols > fft_length // 2
+    k_reduced, gather_cols, conj_mask = _device_oracle_kernel(kern)
     return _cqt_apply(
-        audio_signal,
-        jnp.asarray(k_reduced.astype(np.complex128)),
-        jnp.asarray(gather_cols.astype(np.int32)),
-        jnp.asarray(conj_mask),
+        audio_signal, k_reduced, gather_cols, conj_mask,
         pads, step, fft_length, number_times, _BLOCK_FRAMES,
         octave_resolution)
 

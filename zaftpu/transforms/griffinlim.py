@@ -80,9 +80,11 @@ def griffin_lim(magnitude, window_function, step_length: int,
     Output:
         real signal ``(T*step - WL + 2*step,)`` (ISTFT trim conventions).
     """
+    from zaftpu.utils.devcache import as_device_constant
+
     magnitude = jnp.asarray(magnitude)
-    window_function = jnp.asarray(window_function)
+    window_function = as_device_constant(window_function, magnitude.dtype)
     return _griffin_lim_core(jnp.swapaxes(magnitude, -1, -2),
-                             window_function.astype(magnitude.dtype),
+                             window_function,
                              int(step_length), int(iterations),
                              float(momentum))

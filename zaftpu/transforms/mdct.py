@@ -77,13 +77,15 @@ def mdct(audio_signal, window_function):
         ``number_times = ceil(N/(WL/2)) + 1`` — reference zaf.py:984-1075
         semantics.
     """
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     audio_signal = jnp.asarray(audio_signal)
-    window_function = jnp.asarray(window_function)
+    window_function = as_device_constant(window_function)
     pre, post = _forward_twiddles(window_function.shape[0])
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     return _mdct_core(audio_signal, window_function,
-                      jnp.asarray(pre.astype(ctype)),
-                      jnp.asarray(post.astype(ctype)))
+                      device_constant(pre, ctype),
+                      device_constant(post, ctype))
 
 
 @jax.jit
@@ -117,9 +119,11 @@ def imdct(audio_mdct, window_function):
         zaf.py:1078-1184 semantics (perfect reconstruction up to rounding for
         TDAC windows).
     """
+    from zaftpu.utils.devcache import as_device_constant, device_constant
+
     audio_mdct = jnp.asarray(audio_mdct)
     pre, post = _inverse_twiddles(audio_mdct.shape[-2])
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
-    return _imdct_core(audio_mdct, jnp.asarray(window_function),
-                       jnp.asarray(pre.astype(ctype)),
-                       jnp.asarray(post.astype(ctype)))
+    return _imdct_core(audio_mdct, as_device_constant(window_function),
+                       device_constant(pre, ctype),
+                       device_constant(post, ctype))

@@ -75,8 +75,10 @@ def stft(audio_signal, window_function, step_length: int):
     this matters on remote-tunnel deployments where every eager op pays a
     network round trip).
     """
+    from zaftpu.utils.devcache import as_device_constant
+
     return _stft_full(jnp.asarray(audio_signal),
-                      jnp.asarray(window_function), int(step_length))
+                      as_device_constant(window_function), int(step_length))
 
 
 @partial(jax.jit, static_argnames=("step_length", "gain"))
@@ -125,5 +127,8 @@ def spectrogram(audio_signal, window_function, step_length: int):
     (``abs(stft[1:WL/2+1, :])``, zaf.py:370); computed here directly from the
     rfft half-spectrum so the mirrored bins are never materialized.
     """
+    from zaftpu.utils.devcache import as_device_constant
+
     return _spectrogram_core(jnp.asarray(audio_signal),
-                             jnp.asarray(window_function), int(step_length))
+                             as_device_constant(window_function),
+                             int(step_length))

@@ -1,0 +1,61 @@
+"""Device-resident cache for operator constants.
+
+Transform wrappers receive host-side constants (windows, twiddle vectors,
+filterbanks, the ~37 MB folded CQT kernel). Converting them with
+``jnp.asarray`` on every call uploads them to the device every call — fatal
+on remote-tunnel deployments where each transfer costs a network round trip,
+and wasteful everywhere. :func:`device_constant` memoizes the device copy:
+
+* small arrays (< 2 MB) are keyed by a content hash — safe even if the
+  caller mutates or rebuilds the host array;
+* large arrays are keyed by object identity (with the host reference pinned
+  so the id stays valid) — used only for the framework's own immutable
+  precomputes (CQT kernels), never for caller-owned data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+
+_CONTENT_LIMIT = 2 * 1024 * 1024
+_cache: dict = {}
+
+
+def device_constant(array, dtype=None):
+    """A cached on-device copy of ``array`` (optionally cast to ``dtype``)."""
+    host = np.asarray(array)
+    want = np.dtype(dtype) if dtype is not None else host.dtype
+    if host.nbytes < _CONTENT_LIMIT:
+        digest = hashlib.md5(host.tobytes()).hexdigest()
+        key = ("content", digest, host.shape, str(host.dtype), str(want))
+        pin = None
+    else:
+        key = ("id", id(array), host.shape, str(host.dtype), str(want))
+        pin = array
+    hit = _cache.get(key)
+    if hit is not None:
+        return hit[1]
+    dev = jnp.asarray(host.astype(want) if want != host.dtype else host)
+    _cache[key] = (pin, dev)
+    return dev
+
+
+def as_device_constant(x, dtype=None):
+    """:func:`device_constant` for host arrays; pass-through for jax arrays
+    and tracers (so transforms stay differentiable w.r.t. windows)."""
+    import jax
+
+    if isinstance(x, jax.Array) or isinstance(x, jax.core.Tracer):
+        return x if dtype is None else x.astype(dtype)
+    return device_constant(x, dtype)
+
+
+def cache_size() -> int:
+    return len(_cache)
+
+
+def clear():
+    _cache.clear()
