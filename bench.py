@@ -97,7 +97,33 @@ def timed_chunks(fn, inputs, reps=3):
     return total / reps, outs
 
 
+def pick_chunk_seconds():
+    """Adaptively find a working segment size: the tunnel sporadically
+    rejects programs with larger buffers, so probe descending sizes with a
+    tiny STFT warmup until one executes."""
+    import jax
+    import jax.numpy as jnp
+
+    import zaftpu
+    from zaftpu.core.windows import hamming
+
+    win = hamming(WL).astype(np.float32)
+    for cs in (CHUNK_SECONDS, 300, 120, 60):
+        if cs > SECONDS:
+            continue
+        try:
+            probe = jnp.asarray(np.zeros(SR * cs, np.float32))
+            out = zaftpu.stft(probe, win, STEP)
+            sync(out)
+            del out, probe
+            return cs
+        except Exception as exc:  # noqa: BLE001
+            log(f"chunk probe {cs}s failed ({str(exc)[:60]}); trying smaller")
+    return min(60, SECONDS)
+
+
 def main():
+    global CHUNK_SECONDS
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +131,8 @@ def main():
     from zaftpu.core.windows import hamming, vorbis
 
     log(f"devices: {jax.devices()}")
+    CHUNK_SECONDS = pick_chunk_seconds()
+    log(f"segment size: {CHUNK_SECONDS} s")
     chunks_np = audio_chunks()
     chunks = [jnp.asarray(c) for c in chunks_np]
     window = hamming(WL).astype(np.float32)
