@@ -89,3 +89,34 @@ def test_config_factories():
     assert mc.filterbank().shape == (40, 1024)
     cc = CqtConfig(octave_resolution=12, maximum_frequency=880.0)
     assert cc.kernel().number_frequencies == 48
+
+
+def test_device_constant_cache():
+    from zaftpu.utils import devcache
+
+    devcache.clear()
+    a = np.arange(64, dtype=np.float64)
+    d1 = devcache.device_constant(a)
+    d2 = devcache.device_constant(np.arange(64, dtype=np.float64))
+    assert d1 is d2  # content-keyed: equal arrays share the device copy
+    assert devcache.cache_size() == 1
+    d3 = devcache.device_constant(a, np.float32)
+    assert d3.dtype == np.float32 and devcache.cache_size() == 2
+
+    big = np.zeros(1024 * 1024, dtype=np.float64)  # 8 MB -> identity-keyed
+    b1 = devcache.device_constant(big)
+    b2 = devcache.device_constant(big)
+    assert b1 is b2
+
+
+def test_as_device_constant_passthrough_for_tracers():
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.utils.devcache import as_device_constant
+
+    def f(w):
+        return (as_device_constant(w) * 2).sum()
+
+    g = jax.grad(f)(jnp.ones(16))
+    np.testing.assert_allclose(np.asarray(g), 2.0)
