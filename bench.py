@@ -192,11 +192,21 @@ def main():
 
 
 def _cpu_fallback():
-    """Re-run this benchmark on the host CPU when the TPU tunnel is wedged.
-
-    The baseline is also a 1-CPU measurement (BASELINE.md), so the comparison
-    stays apples-to-apples; the fallback is reported loudly on stderr.
+    """Fallback ladder when the TPU run fails: retry once on TPU with the
+    Pallas kernels disabled (Mosaic compiles are the most fragile stage of
+    the remote tunnel), then measure on the host CPU (the baseline is also a
+    1-CPU measurement, BASELINE.md). Loud on stderr either way.
     """
+    if (os.environ.get("ZAFTPU_PALLAS") != "0"
+            and os.environ.get("BENCH_NO_PALLAS_TRIED") != "1"):
+        log("TPU bench failed — retrying once with Pallas kernels disabled")
+        env = dict(os.environ, ZAFTPU_PALLAS="0", BENCH_NO_PALLAS_TRIED="1")
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, timeout=1800)
+            os._exit(proc.returncode)
+        except subprocess.TimeoutExpired:
+            pass
     log("TPU unavailable/hung — falling back to CPU measurement")
     env = dict(os.environ, BENCH_FORCE_CPU="1",
                BENCH_SECONDS=os.environ.get("BENCH_SECONDS", "600"))
