@@ -24,10 +24,29 @@ _CONTENT_LIMIT = 2 * 1024 * 1024
 _cache: dict = {}
 
 
+def _tracing_active() -> bool:
+    try:
+        from jax._src import core as _core
+
+        return not _core.trace_state_clean()
+    except (ImportError, AttributeError):  # pragma: no cover - version drift
+        import jax
+
+        # Fallback: creating an array under an active trace yields a Tracer.
+        return isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
 def device_constant(array, dtype=None):
-    """A cached on-device copy of ``array`` (optionally cast to ``dtype``)."""
+    """A cached on-device copy of ``array`` (optionally cast to ``dtype``).
+
+    Inside an active trace (a transform wrapper called from a user's jit),
+    caching would capture tracers — the array is embedded as a plain trace
+    constant instead.
+    """
     host = np.asarray(array)
     want = np.dtype(dtype) if dtype is not None else host.dtype
+    if _tracing_active():
+        return jnp.asarray(host.astype(want) if want != host.dtype else host)
     if host.nbytes < _CONTENT_LIMIT:
         digest = hashlib.md5(host.tobytes()).hexdigest()
         key = ("content", digest, host.shape, str(host.dtype), str(want))
