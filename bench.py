@@ -208,8 +208,7 @@ def _cpu_fallback():
         except subprocess.TimeoutExpired:
             pass
     log("TPU unavailable/hung — falling back to CPU measurement")
-    env = dict(os.environ, BENCH_FORCE_CPU="1",
-               BENCH_SECONDS=os.environ.get("BENCH_SECONDS", "600"))
+    env = dict(os.environ, BENCH_FORCE_CPU="1")
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                           env=env, timeout=1800)
     os._exit(proc.returncode)
