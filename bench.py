@@ -29,6 +29,7 @@ import time
 import numpy as np
 
 BASELINE_STFT_1H_FPS = 88.0  # BASELINE.md: measured reference, 1 vCPU
+SAME_HOST_REF_FPS = 1420.0   # reference re-measured on this 4-core host
 SR = 44100
 SECONDS = int(os.environ.get("BENCH_SECONDS", "3600"))
 CHUNK_SECONDS = int(os.environ.get("BENCH_CHUNK_SECONDS", "600"))
@@ -146,7 +147,9 @@ def main():
                                  chunks)
     stft_fps = t_frames / stft_s
     log(f"STFT:  {stft_s:.3f} s -> {stft_fps:,.0f} frames/s "
-        f"(reference 1 vCPU: 88 frames/s)")
+        f"(reference: 88 frames/s on the 1-vCPU baseline host, "
+        f"{SAME_HOST_REF_FPS:,.0f} frames/s re-measured on this host; "
+        f"same-host ratio {stft_fps / SAME_HOST_REF_FPS:,.1f}x)")
 
     istft_s, recs = timed_chunks(lambda s: zaftpu.istft(s, window, STEP),
                                  specs)
