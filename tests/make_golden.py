@@ -60,6 +60,22 @@ def main():
     mdct = zaf.mdct(x, vorbis)
     imdct = zaf.imdct(mdct, vorbis)
 
+    # Parameter-sweep goldens: mel filterbanks and CQT kernels at other
+    # rates/sizes (construction rounding is parameter-sensitive).
+    sweep = {}
+    for ssr, swl, smels in [(8000, 512, 20), (16000, 1024, 32),
+                            (22050, 1024, 64), (48000, 2048, 128)]:
+        fb = zaf.melfilterbank(ssr, swl, smels)
+        sweep[f"melfb_{ssr}_{swl}_{smels}"] = np.asarray(fb.todense())
+    for ssr, sor, sfmin, sfmax in [(22050, 12, 110, 3520),
+                                   (48000, 36, 60, 6000)]:
+        kk = np.asarray(zaf.cqtkernel(ssr, sor, sfmin, sfmax).todense())
+        rows2, cols2 = np.nonzero(kk)
+        sweep[f"cqtk_{ssr}_{sor}_{sfmin}_{sfmax}_shape"] = np.array(kk.shape)
+        sweep[f"cqtk_{ssr}_{sor}_{sfmin}_{sfmax}_rows"] = rows2
+        sweep[f"cqtk_{ssr}_{sor}_{sfmin}_{sfmax}_cols"] = cols2
+        sweep[f"cqtk_{ssr}_{sor}_{sfmin}_{sfmax}_vals"] = kk[rows2, cols2]
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(
         OUT,
@@ -81,6 +97,7 @@ def main():
         imdct=imdct,
         **dcts,
         **dsts,
+        **sweep,
     )
     print(f"wrote {OUT} ({os.path.getsize(OUT)/1e6:.2f} MB)")
 

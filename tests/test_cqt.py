@@ -82,3 +82,15 @@ def test_f32_tolerance(golden, signal, kernel):
     assert mine.dtype == np.float32
     ref = golden["cqtspectrogram"]
     np.testing.assert_allclose(mine, ref, atol=2e-4 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("ssr,sor,sfmin,sfmax", [(22050, 12, 110, 3520),
+                                                 (48000, 36, 60, 6000)])
+def test_kernel_param_sweep_vs_reference(golden, ssr, sor, sfmin, sfmax):
+    tag = f"cqtk_{ssr}_{sor}_{sfmin}_{sfmax}"
+    shape = tuple(golden[f"{tag}_shape"])
+    ref = np.zeros(shape, dtype=np.complex128)
+    ref[golden[f"{tag}_rows"], golden[f"{tag}_cols"]] = golden[f"{tag}_vals"]
+    mine = cqtkernel(ssr, sor, sfmin, sfmax)
+    assert mine.shape == shape
+    np.testing.assert_allclose(mine.kernel, ref, atol=1e-18)

@@ -68,3 +68,14 @@ def test_mfcc_f32(signal, hamming_window):
                             COEFFS))
     assert out32.dtype == np.float32
     np.testing.assert_allclose(out32, out64, atol=5e-3)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("ssr,swl,smels", [(8000, 512, 20), (16000, 1024, 32),
+                                           (22050, 1024, 64),
+                                           (48000, 2048, 128)])
+def test_filterbank_param_sweep_vs_reference(golden, ssr, swl, smels):
+    mine = melfilterbank(ssr, swl, smels)
+    np.testing.assert_array_equal(mine, golden[f"melfb_{ssr}_{swl}_{smels}"])
