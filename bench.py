@@ -23,7 +23,6 @@ import json
 import os
 import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
@@ -65,9 +64,9 @@ def audio_chunks():
 
 def sync(x):
     """Force completion via a dependent tiny transfer (tunnel-safe)."""
-    import jax
+    from zaftpu.utils.profiling import fetch_sync
 
-    return jax.device_get(x.reshape(-1)[-1])
+    return fetch_sync(x)
 
 
 def timed_chunks(fn, inputs, reps=3):
@@ -109,9 +108,10 @@ def pick_chunk_seconds():
     from zaftpu.core.windows import hamming
 
     win = hamming(WL).astype(np.float32)
-    for cs in (CHUNK_SECONDS, 300, 120, 60):
-        if cs > SECONDS:
-            continue
+    ladder = sorted({cs for cs in (CHUNK_SECONDS, 300, 120, 60)
+                     if cs <= CHUNK_SECONDS and cs <= max(SECONDS, 60)},
+                    reverse=True)
+    for cs in ladder:
         try:
             probe = jnp.asarray(np.zeros(SR * cs, np.float32))
             out = zaftpu.stft(probe, win, STEP)
@@ -137,9 +137,10 @@ def main():
     chunks_np = audio_chunks()
     chunks = [jnp.asarray(c) for c in chunks_np]
     window = hamming(WL).astype(np.float32)
+    from zaftpu.core.frame import stft_padding
+
     total_samples = sum(len(c) for c in chunks_np)
-    frames_of = lambda n: int(np.ceil((n + 2 * (WL // 2) - WL) / STEP)) + 1
-    t_frames = sum(frames_of(len(c)) for c in chunks_np)
+    t_frames = sum(stft_padding(len(c), WL, STEP)[2] for c in chunks_np)
     log(f"{SECONDS} s signal: {total_samples} samples, {t_frames} frames, "
         f"{len(chunks)} x {CHUNK_SECONDS} s segments")
 
@@ -194,49 +195,41 @@ def main():
     }))
 
 
-def _cpu_fallback():
-    """Fallback ladder when the TPU run fails: retry once on TPU with the
-    Pallas kernels disabled (Mosaic compiles are the most fragile stage of
-    the remote tunnel), then measure on the host CPU (the baseline is also a
-    1-CPU measurement, BASELINE.md). Loud on stderr either way.
+def _supervise():
+    """Run the measurement in a worker subprocess through a fallback ladder:
+    TPU -> TPU without Pallas kernels (Mosaic compiles are the most fragile
+    tunnel stage) -> host CPU (the baseline is also a CPU measurement,
+    BASELINE.md). The supervisor kills a hung worker on timeout, so exactly
+    one worker ever reaches the final JSON print — no duplicate metric lines.
     """
-    if (os.environ.get("ZAFTPU_PALLAS") != "0"
-            and os.environ.get("BENCH_NO_PALLAS_TRIED") != "1"):
-        log("TPU bench failed — retrying once with Pallas kernels disabled")
-        env = dict(os.environ, ZAFTPU_PALLAS="0", BENCH_NO_PALLAS_TRIED="1")
+    budget = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    ladder = [
+        ("TPU", {}, budget),
+        ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
+        ("CPU", {"BENCH_FORCE_CPU": "1"}, 1800),
+    ]
+    for label, extra, timeout_s in ladder:
+        env = dict(os.environ, BENCH_WORKER="1", **extra)
+        log(f"--- bench attempt: {label}")
         try:
-            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                  env=env, timeout=1800)
-            os._exit(proc.returncode)
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=timeout_s).returncode
         except subprocess.TimeoutExpired:
-            pass
-    log("TPU unavailable/hung — falling back to CPU measurement")
-    env = dict(os.environ, BENCH_FORCE_CPU="1")
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          env=env, timeout=1800)
-    os._exit(proc.returncode)
+            log(f"{label} attempt timed out after {timeout_s}s")
+            continue
+        if rc == 0:
+            return 0
+        log(f"{label} attempt failed (rc={rc})")
+    return 1
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_FORCE_CPU") == "1":
-        import jax
+    if os.environ.get("BENCH_WORKER") == "1":
+        if os.environ.get("BENCH_FORCE_CPU") == "1":
+            import jax
 
-        jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_platforms", "cpu")
         main()
         sys.exit(0)
-
-    budget = int(os.environ.get("BENCH_TIMEOUT", "900"))
-    done = threading.Event()
-
-    def _watchdog():
-        if not done.wait(budget):
-            _cpu_fallback()
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-    try:
-        main()
-        done.set()
-    except Exception as exc:  # noqa: BLE001
-        log(f"TPU bench failed ({exc})")
-        done.set()
-        _cpu_fallback()
+    sys.exit(_supervise())

@@ -94,3 +94,35 @@ def test_kernel_param_sweep_vs_reference(golden, ssr, sor, sfmin, sfmax):
     mine = cqtkernel(ssr, sor, sfmin, sfmax)
     assert mine.shape == shape
     np.testing.assert_allclose(mine.kernel, ref, atol=1e-18)
+
+
+def test_batched_cqt(signal, kernel):
+    """Batched leading axes supported in both dtypes (review finding)."""
+    batch64 = np.stack([signal[:44100], np.roll(signal[:44100], 777)])
+    out = np.asarray(cqtspectrogram(batch64, SR, TRES, kernel))
+    for i in range(2):
+        np.testing.assert_allclose(
+            out[i], np.asarray(cqtspectrogram(batch64[i], SR, TRES, kernel)),
+            atol=1e-12)
+    batch32 = batch64.astype(np.float32)
+    out32 = np.asarray(cqtspectrogram(batch32, SR, TRES, kernel))
+    assert out32.shape == out.shape
+    chroma = np.asarray(cqtchromagram(batch32, SR, TRES, OR, kernel))
+    assert chroma.shape == (2, OR, out.shape[-1])
+
+
+def test_batched_cqt_sharded(signal, kernel):
+    import jax
+
+    from zaftpu.sharding import cqtspectrogram_sharded, make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 devices")
+    mesh2 = make_mesh_2d(2, 4)
+    batch = np.stack([signal, np.roll(signal, 999)]).astype(np.float32)
+    out = np.asarray(cqtspectrogram_sharded(batch, SR, TRES, kernel, mesh2))
+    for i in range(2):
+        ref = np.asarray(cqtspectrogram(batch[i], SR, TRES, kernel))
+        np.testing.assert_allclose(out[i], ref, atol=5e-4)

@@ -103,10 +103,12 @@ def test_device_constant_cache():
     d3 = devcache.device_constant(a, np.float32)
     assert d3.dtype == np.float32 and devcache.cache_size() == 2
 
-    big = np.zeros(1024 * 1024, dtype=np.float64)  # 8 MB -> identity-keyed
+    before = devcache.cache_size()
+    big = np.zeros(1024 * 1024, dtype=np.float64)  # 8 MB -> never cached
     b1 = devcache.device_constant(big)
     b2 = devcache.device_constant(big)
-    assert b1 is b2
+    assert b1 is not b2  # caller-owned large arrays are not pinned
+    assert devcache.cache_size() == before
 
 
 def test_as_device_constant_passthrough_for_tracers():
@@ -120,3 +122,22 @@ def test_as_device_constant_passthrough_for_tracers():
 
     g = jax.grad(f)(jnp.ones(16))
     np.testing.assert_allclose(np.asarray(g), 2.0)
+
+
+def test_foreign_kernel_memoized():
+    """Passing the same scipy-sparse kernel repeatedly must not rebuild the
+    finalized kernel each call (review finding)."""
+    import scipy.sparse
+
+    import zaftpu
+    from zaftpu.transforms import cqt as cqt_mod
+
+    kern = zaftpu.cqtkernel(22050, 12, 110, 880)
+    sparse = scipy.sparse.csr_matrix(kern.kernel)
+    a = cqt_mod._as_kernel(sparse)
+    b = cqt_mod._as_kernel(sparse)
+    assert a is b
+    # ndarray inputs memoize by content
+    c = cqt_mod._as_kernel(np.asarray(kern.kernel))
+    d = cqt_mod._as_kernel(np.array(kern.kernel))
+    assert c is d

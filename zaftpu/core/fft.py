@@ -84,8 +84,12 @@ def matmul_fft(x: jnp.ndarray) -> jnp.ndarray:
     """
     n = x.shape[-1]
     n1, n2, w1, w2, twiddle = _four_step_factors(n)
-    cdtype = jnp.complex64 if jnp.result_type(x, jnp.float32) == jnp.float32 \
-        else jnp.complex128
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        cdtype = x.dtype
+    else:
+        cdtype = (jnp.complex64
+                  if jnp.result_type(x, jnp.float32) == jnp.float32
+                  else jnp.complex128)
     a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2).astype(cdtype)
     b = jnp.matmul(a, jnp.asarray(w2.astype(cdtype)),
                    preferred_element_type=cdtype)

@@ -83,10 +83,11 @@ class BlockReader:
         """Arbitrary ``(count,)`` span in sample coordinates, zero-filled
         outside the file — the primitive the resumable pipelines use to read
         the *padded* signal stream without materializing it."""
+        width = () if self.mono else (self.channels,)
         lo = max(start, 0)
         hi = min(start + count, self.frames)
         if hi <= lo:
-            return np.zeros(count, dtype=np.float32)
+            return np.zeros((count, *width), dtype=np.float32)
         if self._native is not None:
             data = self._native.read(lo, hi - lo)
         else:
@@ -99,7 +100,7 @@ class BlockReader:
             if data.ndim == 1:
                 data = data[:, None]
         chunk = data.mean(axis=1) if self.mono else data
-        out = np.zeros(count, dtype=np.float32)
+        out = np.zeros((count, *width), dtype=np.float32)
         out[lo - start:lo - start + chunk.shape[0]] = chunk
         return out
 

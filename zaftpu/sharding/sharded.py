@@ -412,7 +412,7 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
         needed = (blocks * b - 1) * step_length + fft_length
         extended = _pad_last(extended, 0,
                              max(0, needed - extended.shape[-1]))
-        return _cqt._blocked_matmul_impl(
+        return _cqt._batched_1d(_cqt._blocked_matmul_impl)(
             extended, m_real, m_imag, step_length, fft_length, t_local, b)
 
     out = jax.shard_map(

@@ -151,13 +151,54 @@ def cqtkernel(sampling_frequency, octave_resolution, minimum_frequency,
                              float(maximum_frequency))
 
 
+_foreign_kernels: dict = {}
+_FOREIGN_KERNEL_LIMIT = 8
+
+
 def _as_kernel(cqt_kernel) -> CqtKernel:
-    """Accept a CqtKernel, scipy sparse matrix, or dense array (parity)."""
+    """Accept a CqtKernel, scipy sparse matrix, or dense array (parity).
+
+    Foreign (non-CqtKernel) inputs require a ~1 s finalize (a 32k-point host
+    FFT per row); results are memoized — by weak reference when the input
+    supports it (scipy sparse), else by content hash — with FIFO eviction so
+    repeated calls with the same user-owned kernel don't rebuild or pin
+    memory without bound.
+    """
     if isinstance(cqt_kernel, CqtKernel):
         return cqt_kernel
+    import hashlib
+    import weakref
+
     dense = np.asarray(cqt_kernel.toarray()
                        if hasattr(cqt_kernel, "toarray") else cqt_kernel)
-    return _finalize_kernel(dense)
+    try:
+        key = ("ref", id(cqt_kernel))
+        hit = _foreign_kernels.get(key)
+        if hit is not None and hit[0]() is cqt_kernel:
+            return hit[1]
+        finalized = _finalize_kernel(dense)
+        ref = weakref.ref(
+            cqt_kernel, lambda _, k=key: _foreign_kernels.pop(k, None))
+        _foreign_kernels[key] = (ref, finalized)
+    except TypeError:  # plain ndarrays aren't weak-referenceable
+        key = ("content", hashlib.md5(dense.tobytes()).hexdigest())
+        hit = _foreign_kernels.get(key)
+        if hit is not None:
+            return hit[1]
+        finalized = _finalize_kernel(dense)
+        _foreign_kernels[key] = (None, finalized)
+    while len(_foreign_kernels) > _FOREIGN_KERNEL_LIMIT:
+        _evict_kernel(next(iter(_foreign_kernels)))
+    return finalized
+
+
+def _evict_kernel(key):
+    entry = _foreign_kernels.pop(key, None)
+    if entry is not None:
+        # Drop any device copies tied to the evicted kernel object.
+        kern_id = id(entry[1])
+        for dkey in [k for k in _device_kernels if k[0] == kern_id]:
+            _device_kernels.pop(dkey, None)
 
 
 _BLOCK_FRAMES = 128  # frames per on-device block (bounds memory at ~17 MB)
@@ -174,30 +215,49 @@ def _cqt_apply(signal, k_reduced, gather_cols, conj_mask, pads, step_length,
     ``k_reduced`` holds only the kernel's nonzero columns; ``gather_cols``
     maps each of them into the rfft half-spectrum, with ``conj_mask`` marking
     negative-frequency columns supplied via Hermitian symmetry
-    ``X[k] = conj(X[L-k])``.
+    ``X[k] = conj(X[L-k])``. Leading batch axes are vmapped.
     """
-    padded = jnp.pad(signal, pads)
-    blocks = -(-number_times // block_frames)
-    starts = np.arange(block_frames) * step_length
-    seg_len = (block_frames - 1) * step_length + fft_length
+    padded = _pad_last(signal, pads)
 
-    def one_block(b):
-        seg = jax.lax.dynamic_slice(
-            padded, (b * block_frames * step_length,), (seg_len,))
-        frames = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(seg, (s,), (fft_length,)))(starts)
-        half_spec = jnp.fft.rfft(frames, axis=-1)      # (B, L/2+1)
-        gathered = half_spec[:, gather_cols]           # (B, C)
-        gathered = jnp.where(conj_mask, jnp.conj(gathered), gathered)
-        acc = jnp.matmul(gathered, k_reduced.T.astype(half_spec.dtype),
-                         preferred_element_type=half_spec.dtype)
-        return jnp.abs(acc)                            # (B, F)
+    def oracle_1d(padded_1d):
+        blocks = -(-number_times // block_frames)
+        starts = np.arange(block_frames) * step_length
+        seg_len = (block_frames - 1) * step_length + fft_length
 
-    out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
-    spec = out.reshape(blocks * block_frames, -1)[:number_times].T
+        def one_block(b):
+            seg = jax.lax.dynamic_slice(
+                padded_1d, (b * block_frames * step_length,), (seg_len,))
+            frames = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                seg, (s,), (fft_length,)))(starts)
+            half_spec = jnp.fft.rfft(frames, axis=-1)  # (B, L/2+1)
+            gathered = half_spec[:, gather_cols]       # (B, C)
+            gathered = jnp.where(conj_mask, jnp.conj(gathered), gathered)
+            acc = jnp.matmul(gathered, k_reduced.T.astype(half_spec.dtype),
+                             preferred_element_type=half_spec.dtype)
+            return jnp.abs(acc)                        # (B, F)
+
+        out = jax.lax.map(one_block, jnp.arange(blocks))
+        return out.reshape(blocks * block_frames, -1)[:number_times]
+
+    spec = jnp.swapaxes(_batched_1d(oracle_1d)(padded), -1, -2)
     if octave_resolution:
         return _octave_fold(spec, octave_resolution)
     return spec
+
+
+def _pad_last(x, pads):
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [tuple(pads)])
+
+
+def _batched_1d(impl):
+    """Lift a 1-D signal function over arbitrary leading batch axes."""
+    def wrapper(padded, *args, **kwargs):
+        if padded.ndim == 1:
+            return impl(padded, *args, **kwargs)
+        flat = padded.reshape(-1, padded.shape[-1])
+        out = jax.vmap(lambda s: impl(s, *args, **kwargs))(flat)
+        return out.reshape(padded.shape[:-1] + out.shape[1:])
+    return wrapper
 
 
 def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
@@ -231,12 +291,14 @@ def _cqt_apply_matmul(signal, m_real, m_imag, pads, step_length, fft_length,
     transposed to ``(fft_length, F)``; no on-device FFT, no gather — the
     float32 TPU fast path. Padding, transpose, and (optionally, when
     ``octave_resolution > 0``) the chromagram octave fold all run inside this
-    one jitted program — a single device dispatch end to end.
+    one jitted program — a single device dispatch end to end. Leading batch
+    axes are vmapped over the 1-D blocked body.
     """
-    padded = jnp.pad(signal, pads)
-    out = _blocked_matmul_impl(padded, m_real, m_imag, step_length,
-                               fft_length, number_times, block_frames)
-    spec = out.T                                        # (F, T)
+    padded = _pad_last(signal, pads)
+    out = _batched_1d(_blocked_matmul_impl)(
+        padded, m_real, m_imag, step_length, fft_length, number_times,
+        block_frames)
+    spec = jnp.swapaxes(out, -1, -2)                    # (..., F, T)
     if octave_resolution:
         return _octave_fold(spec, octave_resolution)
     return spec
@@ -270,12 +332,18 @@ def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
 
 
 _device_kernels: dict = {}
+_DEVICE_KERNEL_LIMIT = 16
+
+
+def _bound_device_kernels():
+    while len(_device_kernels) > _DEVICE_KERNEL_LIMIT:
+        _device_kernels.pop(next(iter(_device_kernels)))
 
 
 def _device_time_kernel(kern: CqtKernel, dtype):
     """Device-resident (m_real, m_imag) for the fused matmul path, uploaded
     once per (kernel, dtype); the kernel object is pinned so its id is
-    stable."""
+    stable. FIFO-bounded."""
     key = (id(kern), np.dtype(dtype).name, "time")
     hit = _device_kernels.get(key)
     if hit is None:
@@ -285,6 +353,7 @@ def _device_time_kernel(kern: CqtKernel, dtype):
             np.ascontiguousarray(kern.time_kernel.imag.T).astype(dtype))
         hit = (kern, m_real, m_imag)
         _device_kernels[key] = hit
+        _bound_device_kernels()
     return hit[1], hit[2]
 
 
@@ -305,6 +374,7 @@ def _device_oracle_kernel(kern: CqtKernel):
                jnp.asarray(gather_cols.astype(np.int32)),
                jnp.asarray(conj_mask))
         _device_kernels[key] = hit
+        _bound_device_kernels()
     return hit[1], hit[2], hit[3]
 
 

@@ -78,7 +78,7 @@ def griffin_lim(magnitude, window_function, step_length: int,
         iterations: projections (one fused device loop).
         momentum: fast-Griffin-Lim acceleration (0 = classic).
     Output:
-        real signal ``(T*step - WL + 2*step,)`` (ISTFT trim conventions).
+        real signal ``(T*step - WL + step,)`` (ISTFT trim conventions).
     """
     from zaftpu.utils.devcache import as_device_constant
 

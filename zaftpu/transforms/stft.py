@@ -105,7 +105,7 @@ def istft(audio_stft, window_function, step_length: int):
         window_function: the analysis window ``(window_length,)``
         step_length: hop in samples
     Output:
-        real signal ``(number_times*step - window_length + 2*step,)`` —
+        real signal ``(number_times*step - window_length + step,)`` —
         same trim/normalization semantics as reference zaf.py:144-243.
         Exact reconstruction needs a COLA window (periodic, step | WL).
     """

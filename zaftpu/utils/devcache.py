@@ -39,26 +39,25 @@ def _tracing_active() -> bool:
 def device_constant(array, dtype=None):
     """A cached on-device copy of ``array`` (optionally cast to ``dtype``).
 
-    Inside an active trace (a transform wrapper called from a user's jit),
-    caching would capture tracers — the array is embedded as a plain trace
-    constant instead.
+    Only arrays under 2 MB are cached (content-keyed, so caller mutation or
+    rebuilding is always safe); larger caller-owned arrays upload fresh each
+    call — identity-keyed pinning of big operators is handled by the modules
+    that own them (e.g. the CQT kernel cache), never here. Inside an active
+    trace (a transform wrapper called from a user's jit), caching would
+    capture tracers — the array is embedded as a plain trace constant
+    instead.
     """
     host = np.asarray(array)
     want = np.dtype(dtype) if dtype is not None else host.dtype
-    if _tracing_active():
+    if _tracing_active() or host.nbytes >= _CONTENT_LIMIT:
         return jnp.asarray(host.astype(want) if want != host.dtype else host)
-    if host.nbytes < _CONTENT_LIMIT:
-        digest = hashlib.md5(host.tobytes()).hexdigest()
-        key = ("content", digest, host.shape, str(host.dtype), str(want))
-        pin = None
-    else:
-        key = ("id", id(array), host.shape, str(host.dtype), str(want))
-        pin = array
+    digest = hashlib.md5(host.tobytes()).hexdigest()
+    key = ("content", digest, host.shape, str(host.dtype), str(want))
     hit = _cache.get(key)
     if hit is not None:
         return hit[1]
     dev = jnp.asarray(host.astype(want) if want != host.dtype else host)
-    _cache[key] = (pin, dev)
+    _cache[key] = (None, dev)
     return dev
 
 

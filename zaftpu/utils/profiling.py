@@ -46,12 +46,19 @@ class TransformStats:
         return f"{self.name}: {self.seconds * 1e3:.2f} ms{extra}"
 
 
+def fetch_sync(x):
+    """Force completion of ``x`` via a dependent one-element device fetch
+    (reliable through remote-device tunnels where ``block_until_ready`` can
+    return early). Returns the fetched element."""
+    return jax.device_get(x.reshape(-1)[-1])
+
+
 def _block(x):
     if hasattr(x, "block_until_ready"):
         # block_until_ready alone can return early through remote-device
         # tunnels; a dependent one-element fetch guarantees completion.
         x.block_until_ready()
-        jax.device_get(x.reshape(-1)[-1])
+        fetch_sync(x)
     elif isinstance(x, dict):
         for v in x.values():
             _block(v)
