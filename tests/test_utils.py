@@ -137,7 +137,8 @@ def test_foreign_kernel_memoized():
     a = cqt_mod._as_kernel(sparse)
     b = cqt_mod._as_kernel(sparse)
     assert a is b
-    # ndarray inputs memoize by content
-    c = cqt_mod._as_kernel(np.asarray(kern.kernel))
-    d = cqt_mod._as_kernel(np.array(kern.kernel))
+    # ndarray inputs memoize per object (weakref-keyed, GC-evicting)
+    arr = np.array(kern.kernel)
+    c = cqt_mod._as_kernel(arr)
+    d = cqt_mod._as_kernel(arr)
     assert c is d
