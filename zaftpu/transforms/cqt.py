@@ -177,8 +177,11 @@ def _as_kernel(cqt_kernel) -> CqtKernel:
         if hit is not None and hit[0]() is cqt_kernel:
             return hit[1]
         finalized = _finalize_kernel(dense)
+        # bind the dict as a default arg so interpreter-shutdown GC (module
+        # globals already cleared) can't hit a None global
         ref = weakref.ref(
-            cqt_kernel, lambda _, k=key: _foreign_kernels.pop(k, None))
+            cqt_kernel,
+            lambda _, k=key, d=_foreign_kernels: d.pop(k, None))
         _foreign_kernels[key] = (ref, finalized)
     except TypeError:  # plain ndarrays aren't weak-referenceable
         key = ("content", hashlib.md5(dense.tobytes()).hexdigest())
