@@ -202,7 +202,7 @@ def _supervise():
     BASELINE.md). The supervisor kills a hung worker on timeout, so exactly
     one worker ever reaches the final JSON print — no duplicate metric lines.
     """
-    budget = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    budget = int(os.environ.get("BENCH_TIMEOUT", "420"))
     ladder = [
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
@@ -217,6 +217,10 @@ def _supervise():
                 timeout=timeout_s).returncode
         except subprocess.TimeoutExpired:
             log(f"{label} attempt timed out after {timeout_s}s")
+            if label == "TPU":
+                # A hang means the tunnel is wedged, not a Pallas problem —
+                # go straight to the CPU measurement.
+                ladder[1] = ladder[2]
             continue
         if rc == 0:
             return 0
