@@ -132,6 +132,11 @@ def main():
     from zaftpu.core.windows import hamming, vorbis
 
     log(f"devices: {jax.devices()}")
+    if (jax.default_backend() == "cpu"
+            and "BENCH_CHUNK_SECONDS" not in os.environ):
+        # Small segments keep CPU buffers cache-resident (measured: ~120 s
+        # chunks are ~3x faster than 600 s at full-hour scale on 4 cores).
+        CHUNK_SECONDS = 120
     CHUNK_SECONDS = pick_chunk_seconds()
     log(f"segment size: {CHUNK_SECONDS} s")
     chunks_np = audio_chunks()
