@@ -14,22 +14,53 @@ rounding.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+
+def _use_matmul_engine(n: int) -> bool:
+    """``ZAFTPU_FFT=matmul`` routes power-of-two FFTs through the four-step
+    MXU engine — a workaround for backends where the native FFT op is slow to
+    compile or unavailable, and an A/B lever for benchmarking."""
+    return (os.environ.get("ZAFTPU_FFT") == "matmul"
+            and n >= 4 and (n & (n - 1)) == 0)
 
 
 def rfft(frames: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Real FFT along the last axis: ``(..., N)`` -> ``(..., N//2 + 1)``."""
-    return jnp.fft.rfft(frames, n=n, axis=-1)
+    if n is not None and n != frames.shape[-1]:
+        frames = _pad_or_trim(frames, n)
+    length = frames.shape[-1]
+    if _use_matmul_engine(length):
+        return matmul_rfft(frames)
+    return jnp.fft.rfft(frames, axis=-1)
 
 
 def fft(frames: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Full complex FFT along the last axis."""
-    return jnp.fft.fft(frames, n=n, axis=-1)
+    if n is not None and n != frames.shape[-1]:
+        frames = _pad_or_trim(frames, n)
+    length = frames.shape[-1]
+    if _use_matmul_engine(length):
+        return matmul_fft(frames)
+    return jnp.fft.fft(frames, axis=-1)
 
 
 def ifft(spectra: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Full complex inverse FFT along the last axis."""
-    return jnp.fft.ifft(spectra, n=n, axis=-1)
+    if n is not None and n != spectra.shape[-1]:
+        spectra = _pad_or_trim(spectra, n)
+    length = spectra.shape[-1]
+    if _use_matmul_engine(length):
+        return matmul_ifft(spectra)
+    return jnp.fft.ifft(spectra, axis=-1)
+
+
+def _pad_or_trim(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if n <= x.shape[-1]:
+        return x[..., :n]
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
 
 
 def full_from_half(half: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -104,6 +135,12 @@ def matmul_rfft(x: jnp.ndarray) -> jnp.ndarray:
     return matmul_fft(x)[..., : n // 2 + 1]
 
 
+def matmul_ifft(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse FFT via the four-step engine: ``conj(FFT(conj(X)))/N``."""
+    n = x.shape[-1]
+    return jnp.conj(matmul_fft(jnp.conj(x))) / n
+
+
 def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:
     """``real(ifft(X))`` along the last axis (reference zaf.py:223).
 
@@ -112,4 +149,4 @@ def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:
     masked — spectra and defines the output as the real part of the complex
     inverse; ``irfft`` would silently assume symmetry and change semantics.
     """
-    return jnp.real(jnp.fft.ifft(spectra, axis=-1))
+    return jnp.real(ifft(spectra))

@@ -324,8 +324,8 @@ def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
 
     def frame_fn(frames):
         frames = frames * window_function.astype(frames.dtype)
-        spectra = jnp.fft.fft(
-            frames * pre.astype(jnp.result_type(frames, pre)), axis=-1)
+        spectra = _fft.fft(
+            frames * pre.astype(jnp.result_type(frames, pre)))
         return jnp.real(spectra[..., :step] * post)
 
     return _sharded_analysis(body, wl, step, frame_fn, mesh, axis_name)
@@ -360,7 +360,7 @@ def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
     coeffs = jnp.pad(coeffs,
                      [(0, 0)] * (coeffs.ndim - 2) + [(0, t_pad - t), (0, 0)])
     ctype = jnp.result_type(coeffs, pre)
-    spectra = jnp.fft.fft(coeffs * pre.astype(ctype), n=2 * f, axis=-1)
+    spectra = _fft.fft(coeffs * pre.astype(ctype), n=2 * f)
     frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
         jnp.real(spectra).dtype)
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core import fft as _fft
+
 
 @lru_cache(maxsize=32)
 def _forward_twiddles(window_length: int):
@@ -57,8 +59,7 @@ def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
     frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
-    spectra = jnp.fft.fft(frames * pre.astype(jnp.result_type(frames, pre)),
-                          axis=-1)
+    spectra = _fft.fft(frames * pre.astype(jnp.result_type(frames, pre)))
     coeffs = jnp.real(spectra[..., :step] * post)
     return jnp.swapaxes(coeffs, -1, -2)
 
@@ -96,7 +97,7 @@ def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
     ctype = jnp.result_type(coeffs, pre)
     # Zero-padded length-2F FFT of the pre-twiddled coefficients, batched
     # over all frames (reference zaf.py:1159-1163).
-    spectra = jnp.fft.fft(coeffs * pre.astype(ctype), n=2 * f, axis=-1)
+    spectra = _fft.fft(coeffs * pre.astype(ctype), n=2 * f)
     from zaftpu import pallas as _pallas
 
     frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
