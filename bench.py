@@ -211,6 +211,8 @@ def _supervise():
     ladder = [
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
+        ("TPU (matmul FFT engine)",
+         {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul"}, budget),
         ("CPU", {"BENCH_FORCE_CPU": "1"}, 1800),
     ]
     for label, extra, timeout_s in ladder:
@@ -223,9 +225,9 @@ def _supervise():
         except subprocess.TimeoutExpired:
             log(f"{label} attempt timed out after {timeout_s}s")
             if label == "TPU":
-                # A hang means the tunnel is wedged, not a Pallas problem —
+                # A hang means the tunnel is wedged, not an op problem —
                 # go straight to the CPU measurement.
-                ladder[1] = ladder[2]
+                ladder[1] = ladder[2] = ladder[-1]
             continue
         if rc == 0:
             return 0
