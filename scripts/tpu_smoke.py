@@ -89,12 +89,23 @@ def main():
         assert pallas.enabled()
         return "dispatch on"
 
+    def s_matmul_fft():
+        from zaftpu.core.fft import matmul_fft
+
+        x = jnp.asarray(np.random.randn(44, 2048).astype(np.float32))
+        out = matmul_fft(x)
+        ref = np.fft.fft(np.asarray(x))
+        err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+        assert err < 1e-4, err
+        return f"rel err {err:.1e}"
+
     stage("stft/istft", s_stft)
     stage("mfcc", s_mfcc)
     stage("cqt", s_cqt)
     stage("mdct/imdct", s_mdct)
     stage("dct", s_dct)
     stage("pallas dispatch", s_pallas)
+    stage("matmul-FFT engine", s_matmul_fft)
 
 
 if __name__ == "__main__":
