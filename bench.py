@@ -224,10 +224,11 @@ def _supervise():
                 timeout=timeout_s).returncode
         except subprocess.TimeoutExpired:
             log(f"{label} attempt timed out after {timeout_s}s")
-            if label == "TPU":
+            if label.startswith("TPU"):
                 # A hang means the tunnel is wedged, not an op problem —
                 # go straight to the CPU measurement.
-                ladder[1] = ladder[2] = ladder[-1]
+                for i in range(len(ladder) - 1):
+                    ladder[i] = ladder[-1]
             continue
         if rc == 0:
             return 0
