@@ -267,10 +267,33 @@ def example_imdct(outdir):
     plt.close()
 
 
+def example_griffinlim(outdir):
+    """Reconstruct audio from a magnitude spectrogram (beyond the reference:
+    fast Griffin-Lim phase recovery, one fused device loop)."""
+    audio, sr = load_audio()
+    mono = audio.mean(axis=1)[:10 * sr].astype(np.float32)
+    wl, window, step = _analysis_params(sr)
+    window = window.astype(np.float32)
+    magnitude = np.abs(np.asarray(zaftpu.stft(mono, window, step)))[:wl // 2 + 1]
+    rebuilt = np.asarray(zaftpu.griffin_lim(magnitude, window, step,
+                                            iterations=50))
+    zaftpu.wavwrite(rebuilt, sr, os.path.join(outdir, "griffinlim.wav"))
+    plt.figure(figsize=(14, 7))
+    for i, (sig, title) in enumerate([(mono, "Original signal"),
+                                      (rebuilt, "Griffin-Lim reconstruction")]):
+        plt.subplot(2, 1, i + 1)
+        zaftpu.sigplot(sig, sr, xtick_step=1)
+        plt.ylim(-1, 1)
+        plt.title(title)
+    plt.tight_layout()
+    plt.savefig(os.path.join(outdir, "griffinlim.png"))
+    plt.close()
+
+
 ALL = [example_stft, example_istft, example_melfilterbank,
        example_melspectrogram, example_mfcc, example_cqtkernel,
        example_cqtspectrogram, example_cqtchromagram, example_dct,
-       example_dst, example_mdct, example_imdct]
+       example_dst, example_mdct, example_imdct, example_griffinlim]
 
 
 def main(outdir="example_output"):
