@@ -1,0 +1,43 @@
+#!/bin/bash
+# One TPU hardware session: run each stage under its own timeout, skipping
+# stages that already produced a result file. Delete a result file under
+# docs/tpu_results/ to force a stage to rerun next session.
+cd /root/repo || exit 1
+export PYTHONPATH=/root/repo:/root/.axon_site
+RES=docs/tpu_results
+mkdir -p "$RES"
+
+run_stage() {  # run_stage <name> <timeout_s> <cmd...>
+  local name="$1" tmo="$2"; shift 2
+  if [ -s "$RES/$name.json" ]; then
+    echo "stage $name: already done, skipping"
+    return 0
+  fi
+  echo "=== stage $name (timeout ${tmo}s): $*"
+  local out="$RES/$name.json.tmp"
+  if timeout "$tmo" "$@" > "$out" 2> "$RES/$name.log"; then
+    if [ -s "$out" ]; then
+      mv "$out" "$RES/$name.json"
+      echo "stage $name: OK"
+      cat "$RES/$name.json"
+    else
+      echo "stage $name: rc=0 but empty output"
+      rm -f "$out"
+    fi
+  else
+    echo "stage $name: FAILED (rc=$?) — tail of log:"
+    tail -5 "$RES/$name.log"
+    rm -f "$out"
+    return 1
+  fi
+}
+
+# Order: cheapest/most-informative first. A wedge mid-session only costs the
+# remaining stages; completed results are kept.
+run_stage micro      420  python scripts/tpu_stages/s1_micro.py
+run_stage bench      1500 python bench.py
+run_stage pallas_ab  1200 python scripts/tpu_stages/s3_pallas_ab.py
+run_stage mfu        1200 python scripts/tpu_stages/s4_mfu.py
+run_stage mmfft32k   900  python scripts/tpu_stages/s5_matmulfft32k.py
+run_stage bf16       900  python scripts/tpu_stages/s6_bf16.py
+echo "session complete"

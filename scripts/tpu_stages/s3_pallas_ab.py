@@ -1,0 +1,90 @@
+"""Stage 3: Pallas vs XLA A/B on hardware at 10-minute scale.
+
+Runs the 10-min STFT + ISTFT with ZAFTPU_PALLAS=1 (Mosaic kernels) and =0
+(pure XLA) in worker subprocesses, and reports frames/s for each. This is
+the measurement VERDICT.md round 1 flagged as missing: the kernels had only
+ever run in interpret mode. Prints ONE JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+WORKER = "ZAFTPU_AB_WORKER"
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def worker():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import zaftpu
+    from zaftpu.core.frame import stft_padding
+    from zaftpu.core.windows import hamming
+    from zaftpu.utils.profiling import fetch_sync
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"ok": False, "reason": "not on TPU"}))
+        return 1
+    sr, wl, step, secs = 44100, 2048, 1024, 600
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(sr * secs).astype(np.float32))
+    win = hamming(wl).astype(np.float32)
+    frames = stft_padding(sr * secs, wl, step)[2]
+
+    spec = zaftpu.stft(x, win, step)
+    fetch_sync(spec)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        spec = zaftpu.stft(x, win, step)
+    fetch_sync(spec)
+    stft_s = (time.perf_counter() - t0) / 3
+
+    rec = zaftpu.istft(spec, win, step)
+    fetch_sync(rec)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rec = zaftpu.istft(spec, win, step)
+    fetch_sync(rec)
+    istft_s = (time.perf_counter() - t0) / 3
+
+    print(json.dumps({
+        "ok": True,
+        "pallas": os.environ.get("ZAFTPU_PALLAS", "auto"),
+        "stft_frames_per_s": round(frames / stft_s, 1),
+        "istft_frames_per_s": round(frames / istft_s, 1),
+    }))
+    return 0
+
+
+def main():
+    if os.environ.get(WORKER) == "1":
+        return worker()
+    results = {}
+    for label, flag in (("pallas", "1"), ("xla", "0")):
+        env = dict(os.environ, ZAFTPU_PALLAS=flag)
+        env[WORKER] = "1"
+        log(f"--- A/B arm: {label} (ZAFTPU_PALLAS={flag})")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=480, capture_output=True, text=True)
+            log(proc.stderr[-2000:])
+            results[label] = (json.loads(proc.stdout.strip().splitlines()[-1])
+                              if proc.returncode == 0 and proc.stdout.strip()
+                              else {"ok": False, "rc": proc.returncode})
+        except subprocess.TimeoutExpired:
+            results[label] = {"ok": False, "reason": "timeout"}
+    print(json.dumps({"ok": all(r.get("ok") for r in results.values()),
+                      "arms": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
