@@ -163,3 +163,28 @@ def test_block_reader_fallback_matches_native(i16_file, monkeypatch):
     for i in (0, 3, a.num_blocks - 1):
         np.testing.assert_allclose(a.read_block(i), b.read_block(i),
                                    atol=1e-7)
+
+
+def test_malformed_zero_channel_header(native_lib, tmp_path):
+    """A fmt chunk with channels=0/bits=0 must return an error code, not
+    SIGFPE the process (ADVICE round 1: read_block lacked wav_info's
+    validation)."""
+    import ctypes
+    import struct
+
+    path = tmp_path / "bad.wav"
+    # RIFF/WAVE with fmt declaring 0 channels / 0 bits and a data chunk.
+    fmt = struct.pack("<HHIIHH", 1, 0, 44100, 0, 0, 0)
+    data = b"\x00" * 64
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    path.write_bytes(blob)
+
+    out = np.empty(64, np.float32)
+    rc = native_lib.load().zaftpu_wav_read_block(
+        str(path).encode(), 0, 16,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    assert rc < 0
+    with pytest.raises(ValueError):
+        native_lib.WavFile(str(path))

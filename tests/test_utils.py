@@ -142,3 +142,18 @@ def test_foreign_kernel_memoized():
     c = cqt_mod._as_kernel(arr)
     d = cqt_mod._as_kernel(arr)
     assert c is d
+
+
+def test_device_constant_fifo_bound():
+    """The content-keyed device cache is FIFO-bounded (ADVICE round 1): a
+    process cycling many distinct small constants must not grow without
+    bound."""
+    from zaftpu.utils import devcache
+
+    devcache.clear()
+    try:
+        for i in range(devcache._MAX_ENTRIES + 16):
+            devcache.device_constant(np.full(4, float(i), np.float32))
+        assert devcache.cache_size() <= devcache._MAX_ENTRIES
+    finally:
+        devcache.clear()

@@ -8,6 +8,8 @@ compiler is available the callers fall back to the SciPy path.
 from __future__ import annotations
 
 import ctypes
+import glob
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,21 +18,35 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "wavio.cpp")
-_LIB_PATH = os.path.join(_DIR, "_wavio.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    """Cache path keyed on the *content* of wavio.cpp — mtimes are not
+    preserved by git, so an mtime-keyed cache could silently load a binary
+    that predates the checked-out source."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"_wavio-{digest}.so")
+
+
+def _build(lib_path: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH + ".tmp", _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path + ".tmp", _SRC],
             check=True, capture_output=True, timeout=120)
-        os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
-        return True
+        os.replace(lib_path + ".tmp", lib_path)
     except Exception:
         return False
+    for stale in glob.glob(os.path.join(_DIR, "_wavio*.so")):
+        if stale != lib_path:
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+    return True
 
 
 def load():
@@ -40,12 +56,11 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
-            if not _build():
-                return None
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path) and not _build(lib_path):
+            return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             return None
         lib.zaftpu_wav_info.argtypes = [

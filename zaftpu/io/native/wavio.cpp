@@ -109,6 +109,14 @@ int64_t zaftpu_wav_read_block(const char* path, int64_t start, int64_t count,
     fclose(f);
     return -2;
   }
+  // Mirror zaftpu_wav_info's validation: a malformed fmt chunk with zero
+  // channels/bits would otherwise make frame_bytes 0 and SIGFPE on the
+  // division below.
+  if (info.channels == 0 || info.bits_per_sample == 0 ||
+      info.bits_per_sample % 8 != 0) {
+    fclose(f);
+    return -2;
+  }
   const uint32_t bytes_per_sample = info.bits_per_sample / 8;
   const uint32_t frame_bytes = bytes_per_sample * info.channels;
   const int64_t total = info.data_bytes / frame_bytes;

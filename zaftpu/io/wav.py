@@ -1,8 +1,14 @@
 """WAV file I/O.
 
-Same normalization contract as the reference (zaf.py:1187-1219): integer
-samples are scaled by ``2^(8*itemsize - 1)`` on read (int16 -> [-1, 1)); write
+Normalization contract: integer samples are scaled by ``2^(8*itemsize - 1)``
+on read (int16 -> [-1, 1)), matching the reference (zaf.py:1187-1219); write
 passes data through unscaled, so float in -> float WAV out.
+
+Deliberate divergence from the reference for *float-format* WAV files: the
+reference divides every dtype by ``2^(8*itemsize - 1)`` including float32/64
+(zaf.py:1202), which shrinks already-normalized float data by 2^31/2^63 and
+breaks its own read(write(x)) round trip. Here float samples pass through
+unscaled (round trips are identity; gated in tests/test_io_viz.py).
 
 A native C++ block reader (``zaftpu.io.native``) backs the streaming path for
 long recordings when available; this module is the portable front end.

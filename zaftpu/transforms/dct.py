@@ -9,7 +9,10 @@ scalings. Differences from the reference:
   whole block of segments runs as one fused device program;
 * the embeddings are real, so a single ``rfft`` replaces the full complex FFT
   (half the work; every output bin the transforms read lies in the
-  non-negative-frequency half);
+  non-negative-frequency half) — routed through :mod:`zaftpu.core.fft`, so
+  ``ZAFTPU_FFT=matmul`` applies (the type-IV 8N embedding reaches 32768
+  points at N=4096, exactly the size whose native TPU FFT compile is
+  pathological);
 * no in-place endpoint mutation — pre/post scalings are expressed as masked
   multiplies that XLA fuses into the surrounding ops.
 
@@ -25,6 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from zaftpu.core import fft as _fft
 
 _SQRT2 = np.sqrt(2.0)
 
@@ -56,14 +61,14 @@ def _dct_core(x: jnp.ndarray, dct_type: int) -> jnp.ndarray:
         # the matrix orthogonal (reference zaf.py:759-778).
         xe = _scale_index(_scale_index(x, 0, _SQRT2), n - 1, _SQRT2)
         emb = jnp.concatenate([xe, xe[..., -2:0:-1]], axis=-1)
-        y = jnp.real(jnp.fft.rfft(emb, axis=-1))[..., :n] / 2.0
+        y = jnp.real(_fft.rfft(emb))[..., :n] / 2.0
         y = _scale_index(_scale_index(y, 0, 1.0 / _SQRT2), n - 1, 1.0 / _SQRT2)
         return _rescale(y, np.sqrt(2.0 / (n - 1)))
     if dct_type == 2:
         # Odd-indexed 4N embedding (reference zaf.py:780-796).
         emb = _embed(x, 4 * n, [(slice(1, 2 * n, 2), x),
                                 (slice(2 * n + 1, 4 * n, 2), rev)])
-        y = jnp.real(jnp.fft.rfft(emb, axis=-1))[..., :n] / 2.0
+        y = jnp.real(_fft.rfft(emb))[..., :n] / 2.0
         y = _scale_index(y, 0, 1.0 / _SQRT2)
         return _rescale(y, np.sqrt(2.0 / n))
     if dct_type == 3:
@@ -74,7 +79,7 @@ def _dct_core(x: jnp.ndarray, dct_type: int) -> jnp.ndarray:
                                  (slice(n + 1, 2 * n + 1), -reve),
                                  (slice(2 * n + 1, 3 * n), -xe[..., 1:]),
                                  (slice(3 * n + 1, 4 * n), reve[..., :-1])])
-        y = jnp.real(jnp.fft.rfft(emb, axis=-1))[..., 1:2 * n:2] / 4.0
+        y = jnp.real(_fft.rfft(emb))[..., 1:2 * n:2] / 4.0
         return _rescale(y, np.sqrt(2.0 / n))
     if dct_type == 4:
         # Odd-indexed alternating-sign 8N embedding (reference zaf.py:822-839).
@@ -82,7 +87,7 @@ def _dct_core(x: jnp.ndarray, dct_type: int) -> jnp.ndarray:
                                 (slice(2 * n + 1, 4 * n, 2), -rev),
                                 (slice(4 * n + 1, 6 * n, 2), -x),
                                 (slice(6 * n + 1, 8 * n, 2), rev)])
-        y = jnp.real(jnp.fft.rfft(emb, axis=-1))[..., 1:2 * n:2] / 4.0
+        y = jnp.real(_fft.rfft(emb))[..., 1:2 * n:2] / 4.0
         return _rescale(y, np.sqrt(2.0 / n))
     raise ValueError(f"dct_type must be 1..4, got {dct_type}")
 
@@ -95,13 +100,13 @@ def _dst_core(x: jnp.ndarray, dst_type: int) -> jnp.ndarray:
         # Antisymmetric 2N+2 extension (reference zaf.py:901-916).
         emb = _embed(x, 2 * n + 2, [(slice(1, n + 1), x),
                                     (slice(n + 2, 2 * n + 2), -rev)])
-        y = -jnp.imag(jnp.fft.rfft(emb, axis=-1))[..., 1:n + 1] / 2.0
+        y = -jnp.imag(_fft.rfft(emb))[..., 1:n + 1] / 2.0
         return _rescale(y, np.sqrt(2.0 / (n + 1)))
     if dst_type == 2:
         # Odd-indexed 4N embedding (reference zaf.py:918-934).
         emb = _embed(x, 4 * n, [(slice(1, 2 * n, 2), x),
                                 (slice(2 * n + 1, 4 * n, 2), -rev)])
-        y = -jnp.imag(jnp.fft.rfft(emb, axis=-1))[..., 1:n + 1] / 2.0
+        y = -jnp.imag(_fft.rfft(emb))[..., 1:n + 1] / 2.0
         y = _scale_index(y, n - 1, 1.0 / _SQRT2)
         return _rescale(y, np.sqrt(2.0 / n))
     if dst_type == 3:
@@ -112,7 +117,7 @@ def _dst_core(x: jnp.ndarray, dst_type: int) -> jnp.ndarray:
                                  (slice(n + 1, 2 * n), reve[..., 1:]),
                                  (slice(2 * n + 1, 3 * n + 1), -xe),
                                  (slice(3 * n + 1, 4 * n), -reve[..., 1:])])
-        y = -jnp.imag(jnp.fft.rfft(emb, axis=-1))[..., 1:2 * n:2] / 4.0
+        y = -jnp.imag(_fft.rfft(emb))[..., 1:2 * n:2] / 4.0
         return _rescale(y, np.sqrt(2.0 / n))
     if dst_type == 4:
         # Odd-indexed 8N embedding (reference zaf.py:960-981).
@@ -120,7 +125,7 @@ def _dst_core(x: jnp.ndarray, dst_type: int) -> jnp.ndarray:
                                 (slice(2 * n + 1, 4 * n, 2), rev),
                                 (slice(4 * n + 1, 6 * n, 2), -x),
                                 (slice(6 * n + 1, 8 * n, 2), -rev)])
-        y = -jnp.imag(jnp.fft.rfft(emb, axis=-1))[..., 1:2 * n:2] / 4.0
+        y = -jnp.imag(_fft.rfft(emb))[..., 1:2 * n:2] / 4.0
         return _rescale(y, np.sqrt(2.0 / n))
     raise ValueError(f"dst_type must be 1..4, got {dst_type}")
 

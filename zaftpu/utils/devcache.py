@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _CONTENT_LIMIT = 2 * 1024 * 1024
+_MAX_ENTRIES = 256  # FIFO-bounded: <=256 x <2MB caps device-side growth
 _cache: dict = {}
 
 
@@ -57,6 +58,11 @@ def device_constant(array, dtype=None):
     if hit is not None:
         return hit[1]
     dev = jnp.asarray(host.astype(want) if want != host.dtype else host)
+    while len(_cache) >= _MAX_ENTRIES:
+        # FIFO eviction (dict preserves insertion order): a long-lived
+        # process cycling many distinct windows/filterbanks must not grow
+        # host+device memory without bound.
+        _cache.pop(next(iter(_cache)))
     _cache[key] = (None, dev)
     return dev
 
