@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core import validate as _validate
 from zaftpu.transforms.stft import _stft_frames_half
 
 # Matches np.finfo(float).eps used by the reference at zaf.py:445 regardless
@@ -117,10 +118,13 @@ def melspectrogram(audio_signal, window_function, step_length, mel_filterbank):
     """
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    fbank = device_constant(_as_dense(mel_filterbank))
-    return _melspectrogram_core(jnp.asarray(audio_signal),
-                                as_device_constant(window_function),
-                                fbank, int(step_length))
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function = _validate.check_window(as_device_constant(window_function))
+    step_length = _validate.check_step(step_length, window_function.shape[0])
+    fbank = device_constant(_validate.check_filterbank(
+        _as_dense(mel_filterbank), window_function.shape[0]))
+    return _melspectrogram_core(audio_signal, window_function, fbank,
+                                step_length)
 
 
 @partial(jax.jit, static_argnames=("step_length", "number_coefficients"))
@@ -146,9 +150,18 @@ def mfcc(audio_signal, window_function, step_length, mel_filterbank,
     """
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    fbank = _as_dense(mel_filterbank)
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function = _validate.check_window(as_device_constant(window_function))
+    step_length = _validate.check_step(step_length, window_function.shape[0])
+    fbank = _validate.check_filterbank(_as_dense(mel_filterbank),
+                                       window_function.shape[0])
+    number_coefficients = int(number_coefficients)
+    if not 1 <= number_coefficients < fbank.shape[0]:
+        raise ValueError(
+            f"number_coefficients must be in [1, number_mels-1="
+            f"{fbank.shape[0] - 1}] (the 0th coefficient is dropped, "
+            f"zaf.py:452), got {number_coefficients}")
     dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
-    return _mfcc_core(jnp.asarray(audio_signal),
-                      as_device_constant(window_function),
+    return _mfcc_core(audio_signal, window_function,
                       device_constant(fbank), device_constant(dct_mat),
-                      int(step_length), int(number_coefficients))
+                      step_length, number_coefficients)

@@ -324,10 +324,17 @@ def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
     ``T = floor(N/step)``, asymmetric centering pad, per-frame
     ``|K . fft(frame)|``.
     """
+    from zaftpu.core import validate as _validate
+
     kern = _as_kernel(cqt_kernel)
-    audio_signal = jnp.asarray(audio_signal)
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     step = round(float(sampling_frequency) / float(time_resolution))
     number_times = int(audio_signal.shape[-1] // step)
+    if number_times < 1:
+        raise ValueError(
+            f"signal too short: {audio_signal.shape[-1]} samples is less "
+            f"than one CQT hop ({step} samples at time_resolution="
+            f"{time_resolution})")
     fft_length = kern.fft_length
 
     return _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
@@ -415,9 +422,16 @@ def cqtchromagram(audio_signal, sampling_frequency, time_resolution,
     ``i, i+OR, i+2*OR, ...`` (reference zaf.py:638-700) — a zero-padded
     reshape-sum fused into the same single-dispatch CQT program.
     """
+    from zaftpu.core import validate as _validate
+
     kern = _as_kernel(cqt_kernel)
-    audio_signal = jnp.asarray(audio_signal)
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     step = round(float(sampling_frequency) / float(time_resolution))
     number_times = int(audio_signal.shape[-1] // step)
+    if number_times < 1:
+        raise ValueError(
+            f"signal too short: {audio_signal.shape[-1]} samples is less "
+            f"than one CQT hop ({step} samples at time_resolution="
+            f"{time_resolution})")
     return _cqt_dispatch(audio_signal, kern, step, number_times,
                          kern.fft_length, int(octave_resolution))

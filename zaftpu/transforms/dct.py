@@ -136,7 +136,10 @@ def dct(audio_signal, dct_type: int):
     Matches ``scipy.fftpack.dct(x, type, norm="ortho")`` and reference
     zaf.py:703-839; accepts batched ``(..., N)`` input.
     """
-    return _dct_core(jnp.asarray(audio_signal), int(dct_type))
+    from zaftpu.core import validate as _validate
+
+    return _dct_core(_validate.check_signal(jnp.asarray(audio_signal)),
+                     int(dct_type))
 
 
 def dst(audio_signal, dst_type: int):
@@ -145,4 +148,7 @@ def dst(audio_signal, dst_type: int):
     Matches ``scipy.fftpack.dst(x, type, norm="ortho")`` and reference
     zaf.py:842-981; accepts batched ``(..., N)`` input.
     """
-    return _dst_core(jnp.asarray(audio_signal), int(dst_type))
+    from zaftpu.core import validate as _validate
+
+    return _dst_core(_validate.check_signal(jnp.asarray(audio_signal)),
+                     int(dst_type))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zaftpu.core import fft as _fft
+from zaftpu.core import validate as _validate
 
 
 @lru_cache(maxsize=32)
@@ -80,8 +81,9 @@ def mdct(audio_signal, window_function):
     """
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    audio_signal = jnp.asarray(audio_signal)
-    window_function = as_device_constant(window_function)
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function = as_device_constant(
+        _validate.check_window(window_function, even=True))
     pre, post = _forward_twiddles(window_function.shape[0])
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     return _mdct_core(audio_signal, window_function,
@@ -123,6 +125,16 @@ def imdct(audio_mdct, window_function):
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_mdct = jnp.asarray(audio_mdct)
+    if audio_mdct.ndim < 2:
+        raise ValueError(
+            f"audio_mdct must be (number_frequencies, number_times), "
+            f"got shape {audio_mdct.shape}")
+    _validate.check_window(window_function, even=True)
+    wlen = np.shape(window_function)[0]
+    if wlen != 2 * audio_mdct.shape[-2]:
+        raise ValueError(
+            f"window length must be 2*number_frequencies = "
+            f"{2 * audio_mdct.shape[-2]}, got {wlen}")
     pre, post = _inverse_twiddles(audio_mdct.shape[-2])
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     return _imdct_core(audio_mdct, as_device_constant(window_function),

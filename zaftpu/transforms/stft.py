@@ -28,6 +28,7 @@ import numpy as np
 
 from zaftpu.core import fft as _fft
 from zaftpu.core import frame as _frame
+from zaftpu.core import validate as _validate
 
 
 @partial(jax.jit, static_argnames=("step_length",))
@@ -77,8 +78,11 @@ def stft(audio_signal, window_function, step_length: int):
     """
     from zaftpu.utils.devcache import as_device_constant
 
-    return _stft_full(jnp.asarray(audio_signal),
-                      as_device_constant(window_function), int(step_length))
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function = _validate.check_window(as_device_constant(window_function))
+    step_length = _validate.check_step(step_length,
+                                       window_function.shape[0])
+    return _stft_full(audio_signal, window_function, step_length)
 
 
 @partial(jax.jit, static_argnames=("step_length", "gain"))
@@ -109,9 +113,12 @@ def istft(audio_stft, window_function, step_length: int):
         same trim/normalization semantics as reference zaf.py:144-243.
         Exact reconstruction needs a COLA window (periodic, step | WL).
     """
-    audio_stft = jnp.asarray(audio_stft)
-    gain = _frame.cola_gain(np.asarray(window_function), int(step_length))
-    return _istft_core(audio_stft, int(step_length), gain)
+    audio_stft = _validate.check_spectrum(jnp.asarray(audio_stft))
+    _validate.check_window(window_function)
+    step_length = _validate.check_step(step_length, audio_stft.shape[-2])
+    gain = _frame.cola_gain(np.asarray(window_function), step_length)
+    _validate.check_cola(window_function, step_length, gain)
+    return _istft_core(audio_stft, step_length, gain)
 
 
 @partial(jax.jit, static_argnames=("step_length",))
@@ -129,6 +136,7 @@ def spectrogram(audio_signal, window_function, step_length: int):
     """
     from zaftpu.utils.devcache import as_device_constant
 
-    return _spectrogram_core(jnp.asarray(audio_signal),
-                             as_device_constant(window_function),
-                             int(step_length))
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function = _validate.check_window(as_device_constant(window_function))
+    step_length = _validate.check_step(step_length, window_function.shape[0])
+    return _spectrogram_core(audio_signal, window_function, step_length)
