@@ -264,6 +264,10 @@ def _supervise():
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul"}, budget),
         ("CPU", {"BENCH_FORCE_CPU": "1"}, 1800),
     ]
+    if os.environ.get("BENCH_REQUIRE_TPU") == "1":
+        # Watcher sessions only want genuine TPU numbers — a CPU fallback
+        # result would be persisted and stop future retries.
+        ladder = ladder[:-1]
     tpu_dead = False
     for label, extra, timeout_s in ladder:
         if label.startswith("TPU"):

@@ -35,7 +35,7 @@ run_stage() {  # run_stage <name> <timeout_s> <cmd...>
 # Order: cheapest/most-informative first. A wedge mid-session only costs the
 # remaining stages; completed results are kept.
 run_stage micro      420  python scripts/tpu_stages/s1_micro.py
-run_stage bench      1500 python bench.py
+run_stage bench      1500 env BENCH_REQUIRE_TPU=1 python bench.py
 run_stage pallas_ab  1200 python scripts/tpu_stages/s3_pallas_ab.py
 run_stage mfu        1200 python scripts/tpu_stages/s4_mfu.py
 run_stage mmfft32k   900  python scripts/tpu_stages/s5_matmulfft32k.py

@@ -126,3 +126,27 @@ def test_batched_cqt_sharded(signal, kernel):
     for i in range(2):
         ref = np.asarray(cqtspectrogram(batch[i], SR, TRES, kernel))
         np.testing.assert_allclose(out[i], ref, atol=5e-4)
+
+
+def test_cqt_inside_two_user_jits_no_tracer_leak():
+    """The device-kernel cache must not capture trace constants: calling the
+    CQT from two different user jits with the same kernel object previously
+    leaked the first jit's tracers into the second (found adding the sharded
+    CQT to dryrun_multichip, round 2)."""
+    import jax
+
+    kern = cqtkernel(8000, 12, 110.0, 880.0)
+    x = np.random.default_rng(5).standard_normal(8000).astype(np.float32)
+
+    @jax.jit
+    def f1(sig):
+        return cqtspectrogram(sig, 8000, 25, kern).sum()
+
+    @jax.jit
+    def f2(sig):
+        return cqtspectrogram(sig, 8000, 25, kern).sum() * 2.0
+
+    a = float(f1(x))
+    b = float(f2(x))
+    assert np.isfinite(a) and np.isfinite(b)
+    np.testing.assert_allclose(b, 2.0 * a, rtol=1e-6)

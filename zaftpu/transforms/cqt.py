@@ -353,24 +353,32 @@ def _bound_device_kernels():
 def _device_time_kernel(kern: CqtKernel, dtype):
     """Device-resident (m_real, m_imag) for the fused matmul path, uploaded
     once per (kernel, dtype); the kernel object is pinned so its id is
-    stable. FIFO-bounded."""
+    stable. FIFO-bounded. Inside an active trace (a sharded/plain CQT called
+    from a user's jit) nothing is cached — the arrays become trace constants
+    and caching them would leak tracers into later traces."""
+    from zaftpu.utils.devcache import _tracing_active
+
     key = (id(kern), np.dtype(dtype).name, "time")
-    hit = _device_kernels.get(key)
+    hit = None if _tracing_active() else _device_kernels.get(key)
     if hit is None:
         m_real = jnp.asarray(
             np.ascontiguousarray(kern.time_kernel.real.T).astype(dtype))
         m_imag = jnp.asarray(
             np.ascontiguousarray(kern.time_kernel.imag.T).astype(dtype))
         hit = (kern, m_real, m_imag)
-        _device_kernels[key] = hit
-        _bound_device_kernels()
+        if not _tracing_active():
+            _device_kernels[key] = hit
+            _bound_device_kernels()
     return hit[1], hit[2]
 
 
 def _device_oracle_kernel(kern: CqtKernel):
-    """Device-resident reduced spectral kernel for the f64 oracle path."""
+    """Device-resident reduced spectral kernel for the f64 oracle path.
+    Same no-cache-under-trace rule as :func:`_device_time_kernel`."""
+    from zaftpu.utils.devcache import _tracing_active
+
     key = (id(kern), "oracle")
-    hit = _device_kernels.get(key)
+    hit = None if _tracing_active() else _device_kernels.get(key)
     if hit is None:
         fft_length = kern.fft_length
         k_reduced = np.concatenate([kern.reduced_low, kern.reduced_high],
@@ -383,8 +391,9 @@ def _device_oracle_kernel(kern: CqtKernel):
                jnp.asarray(k_reduced.astype(np.complex128)),
                jnp.asarray(gather_cols.astype(np.int32)),
                jnp.asarray(conj_mask))
-        _device_kernels[key] = hit
-        _bound_device_kernels()
+        if not _tracing_active():
+            _device_kernels[key] = hit
+            _bound_device_kernels()
     return hit[1], hit[2], hit[3]
 
 
