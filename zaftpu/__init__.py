@@ -42,8 +42,13 @@ from zaftpu.viz.display import (
     cqtchromshow,
 )
 from zaftpu.config import StftConfig, MelConfig, CqtConfig, MdctConfig
+from zaftpu.core.policy import compute_dtype
 
 __version__ = "0.1.0"
+
+#: The bf16 MXU fast path (``with zaftpu.compute_dtype("bfloat16")`` or
+#: ``ZAFTPU_DTYPE=bfloat16``) is available — see zaftpu/core/policy.py.
+BF16_SUPPORTED = True
 
 __all__ = [
     "stft",
@@ -72,4 +77,5 @@ __all__ = [
     "MelConfig",
     "CqtConfig",
     "MdctConfig",
+    "compute_dtype",
 ]

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core import policy as _policy
 from zaftpu.core import validate as _validate
 from zaftpu.transforms.stft import _stft_frames_half
 
@@ -104,8 +105,7 @@ def dct_ii_ortho_matrix(size: int) -> np.ndarray:
 def _melspectrogram_core(audio_signal, window_function, fbank, step_length):
     half = _stft_frames_half(audio_signal, window_function, step_length)
     mag = jnp.abs(half[..., 1:])  # (..., T, WL/2): DC dropped, Nyquist kept
-    mel = jnp.matmul(mag, fbank.T.astype(mag.dtype),
-                     preferred_element_type=mag.dtype)
+    mel = _policy.mxu_matmul(mag, fbank.T)
     return jnp.swapaxes(mel, -1, -2)
 
 
@@ -121,8 +121,10 @@ def melspectrogram(audio_signal, window_function, step_length, mel_filterbank):
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     window_function = _validate.check_window(as_device_constant(window_function))
     step_length = _validate.check_step(step_length, window_function.shape[0])
-    fbank = device_constant(_validate.check_filterbank(
-        _as_dense(mel_filterbank), window_function.shape[0]))
+    fbank = device_constant(
+        _validate.check_filterbank(_as_dense(mel_filterbank),
+                                   window_function.shape[0]),
+        _policy.operator_dtype(audio_signal.dtype))
     return _melspectrogram_core(audio_signal, window_function, fbank,
                                 step_length)
 
@@ -132,11 +134,9 @@ def _mfcc_core(audio_signal, window_function, fbank, dct_mat, step_length,
                number_coefficients):
     half = _stft_frames_half(audio_signal, window_function, step_length)
     power = jnp.abs(half[..., 1:]) ** 2  # power spectrogram (zaf.py:437-439)
-    mel = jnp.matmul(power, fbank.T.astype(power.dtype),
-                     preferred_element_type=power.dtype)
+    mel = _policy.mxu_matmul(power, fbank.T)
     logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, dtype=mel.dtype))
-    cepstra = jnp.matmul(logmel, dct_mat.T.astype(logmel.dtype),
-                         preferred_element_type=logmel.dtype)
+    cepstra = _policy.mxu_matmul(logmel, dct_mat.T)
     # Keep coefficients 1..C — the 0th is dropped (zaf.py:452).
     return jnp.swapaxes(cepstra[..., 1:number_coefficients + 1], -1, -2)
 
@@ -162,6 +162,8 @@ def mfcc(audio_signal, window_function, step_length, mel_filterbank,
             f"{fbank.shape[0] - 1}] (the 0th coefficient is dropped, "
             f"zaf.py:452), got {number_coefficients}")
     dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
+    op_dtype = _policy.operator_dtype(audio_signal.dtype)
     return _mfcc_core(audio_signal, window_function,
-                      device_constant(fbank), device_constant(dct_mat),
+                      device_constant(fbank, op_dtype),
+                      device_constant(dct_mat, op_dtype),
                       step_length, number_coefficients)

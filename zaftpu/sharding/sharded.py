@@ -36,6 +36,7 @@ from zaftpu.core import frame as _frame
 from zaftpu.features.mel import _as_dense, _LOG_EPS, dct_ii_ortho_matrix
 from zaftpu.sharding import halo as _halo
 from zaftpu.sharding.mesh import BATCH_AXIS, FRAME_AXIS
+from zaftpu.core import policy as _policy
 from zaftpu.transforms import cqt as _cqt
 from zaftpu.transforms.mdct import _forward_twiddles, _inverse_twiddles
 
@@ -236,8 +237,7 @@ def _mel_full_sharded(audio_signal, window_function, fbank_t, dct_t,
                             step_length, mesh, axis_name, pads, power)
     if number_coefficients:
         logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, mel.dtype))
-        cepstra = jnp.matmul(logmel, dct_t.astype(logmel.dtype),
-                             preferred_element_type=logmel.dtype)
+        cepstra = _policy.mxu_matmul(logmel, dct_t)
         out = jnp.swapaxes(cepstra, -1, -2)[..., :t]
         return out[..., 1:number_coefficients + 1, :]
     return jnp.swapaxes(mel, -1, -2)[..., :t]
@@ -255,8 +255,7 @@ def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
         mag = jnp.abs(half[..., 1:])
         if power:
             mag = mag * mag
-        return jnp.matmul(mag, fbank_t.astype(mag.dtype),
-                          preferred_element_type=mag.dtype)
+        return _policy.mxu_matmul(mag, fbank_t)
 
     return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
 
@@ -275,8 +274,10 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
+    op_dtype = _policy.operator_dtype(audio_signal.dtype)
     return _mel_full_sharded(audio_signal, window_function,
-                             device_constant(np.ascontiguousarray(fbank.T)),
+                             device_constant(
+                                 np.ascontiguousarray(fbank.T), op_dtype),
                              jnp.zeros(()),
                              int(step_length), mesh, axis_name, pads, False,
                              t, 0)
@@ -295,9 +296,12 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
+    op_dtype = _policy.operator_dtype(audio_signal.dtype)
     return _mel_full_sharded(audio_signal, window_function,
-                             device_constant(np.ascontiguousarray(fbank.T)),
-                             device_constant(np.ascontiguousarray(dct_mat.T)),
+                             device_constant(
+                                 np.ascontiguousarray(fbank.T), op_dtype),
+                             device_constant(
+                                 np.ascontiguousarray(dct_mat.T), op_dtype),
                              int(step_length), mesh, axis_name, pads, True,
                              t, int(number_coefficients))
 
@@ -442,8 +446,8 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
     pad_front = int(np.ceil((fft_length - step) / 2))
     t_pad, body_len = _plan_body(n, pad_front, fft_length, step, t,
                                  mesh.shape[axis_name])
-    kdtype = (np.float32 if audio_signal.dtype == jnp.float32
-              else np.float64)
+    kdtype = (_policy.operator_dtype(np.float32)
+              if audio_signal.dtype == jnp.float32 else np.float64)
     m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
     return _cqt_core_sharded(
         audio_signal, m_real, m_imag,
@@ -465,8 +469,8 @@ def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
     pad_front = int(np.ceil((fft_length - step) / 2))
     t_pad, body_len = _plan_body(n, pad_front, fft_length, step, t,
                                  mesh.shape[axis_name])
-    kdtype = (np.float32 if audio_signal.dtype == jnp.float32
-              else np.float64)
+    kdtype = (_policy.operator_dtype(np.float32)
+              if audio_signal.dtype == jnp.float32 else np.float64)
     m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
     return _cqt_core_sharded(
         audio_signal, m_real, m_imag,

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core import policy as _policy
 from zaftpu.core import windows as _windows
 
 
@@ -275,8 +276,8 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
             padded, (b * block_frames * step_length,), (seg_len,))
         frames = jax.vmap(
             lambda s: jax.lax.dynamic_slice(seg, (s,), (fft_length,)))(starts)
-        re = jnp.matmul(frames, m_real, preferred_element_type=frames.dtype)
-        im = jnp.matmul(frames, m_imag, preferred_element_type=frames.dtype)
+        re = _policy.mxu_matmul(frames, m_real)
+        im = _policy.mxu_matmul(frames, m_imag)
         return jnp.sqrt(re * re + im * im)             # (B, F)
 
     out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
@@ -408,8 +409,10 @@ def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
     pads = (pad_front, pad_back + max(0, needed - have))
 
     if audio_signal.dtype == jnp.float32:
-        # f32 fast path: fused time-domain operator, pure MXU matmuls.
-        m_real, m_imag = _device_time_kernel(kern, np.float32)
+        # f32 fast path: fused time-domain operator, pure MXU matmuls
+        # (bf16 operands under the compute_dtype("bfloat16") policy).
+        m_real, m_imag = _device_time_kernel(
+            kern, _policy.operator_dtype(np.float32))
         return _cqt_apply_matmul(
             audio_signal, m_real, m_imag,
             pads, step, fft_length, number_times, _BLOCK_FRAMES,
