@@ -69,3 +69,60 @@ def test_roundtrip_through_pallas_kernels():
     mid = slice(wl, t * step - wl)
     rec = np.asarray(resynth)[mid] / np.asarray(wsq)[mid]
     np.testing.assert_allclose(rec, padded[mid], atol=1e-4)
+
+
+def test_mosaic_failure_falls_back_to_xla(monkeypatch):
+    """A Pallas kernel failure must never break default use: the guarded
+    dispatch marks the kernels broken, clears jit caches, and retries the
+    call on the pure-XLA paths (VERDICT.md round 1, item 3)."""
+    import warnings
+
+    import jax
+
+    import zaftpu
+    from zaftpu import pallas as zpallas
+    from zaftpu.core.windows import hamming
+
+    x = np.random.default_rng(9).standard_normal(8192).astype(np.float32)
+    win = hamming(1024).astype(np.float32)
+    expected = np.asarray(zaftpu.stft(x, win, 512))
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated Mosaic compile failure")
+
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setattr(zpallas._framing, "frame_window", boom)
+    zpallas._reset_health()
+    jax.clear_caches()  # drop the cached trace from the `expected` call
+    try:
+        assert zpallas.enabled()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = np.asarray(zaftpu.stft(x, win, 512))
+        assert any("falling back" in str(w.message) for w in caught)
+        assert not zpallas.enabled()  # broken for the rest of the process
+        np.testing.assert_array_equal(out, expected)
+        # subsequent calls go straight to XLA, no warning, still correct
+        with warnings.catch_warnings(record=True) as caught2:
+            warnings.simplefilter("always")
+            out2 = np.asarray(zaftpu.istft(zaftpu.stft(x, win, 512), win,
+                                           512))
+        assert not any("falling back" in str(w.message) for w in caught2)
+        assert out2.shape[-1] > 0
+    finally:
+        zpallas._reset_health()
+
+
+def test_guarded_does_not_mask_user_errors():
+    """ValueErrors from validation must propagate untouched through the
+    guarded wrapper (no spurious fallback retries)."""
+    import pytest as _pytest
+
+    import zaftpu
+    from zaftpu import pallas as zpallas
+    from zaftpu.core.windows import hamming
+
+    zpallas._reset_health()
+    with _pytest.raises(ValueError, match="step_length"):
+        zaftpu.stft(np.zeros(1024, np.float32), hamming(256), 512)
+    assert not zpallas._broken

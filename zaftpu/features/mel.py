@@ -24,6 +24,7 @@ import numpy as np
 
 from zaftpu.core import policy as _policy
 from zaftpu.core import validate as _validate
+from zaftpu.pallas import guarded as _pallas_guarded
 from zaftpu.transforms.stft import _stft_frames_half
 
 # Matches np.finfo(float).eps used by the reference at zaf.py:445 regardless
@@ -109,6 +110,7 @@ def _melspectrogram_core(audio_signal, window_function, fbank, step_length):
     return jnp.swapaxes(mel, -1, -2)
 
 
+@_pallas_guarded
 def melspectrogram(audio_signal, window_function, step_length, mel_filterbank):
     """Mel spectrogram ``(number_mels, number_times)``.
 
@@ -141,6 +143,7 @@ def _mfcc_core(audio_signal, window_function, fbank, dct_mat, step_length,
     return jnp.swapaxes(cepstra[..., 1:number_coefficients + 1], -1, -2)
 
 
+@_pallas_guarded
 def mfcc(audio_signal, window_function, step_length, mel_filterbank,
          number_coefficients):
     """MFCCs ``(number_coefficients, number_times)`` (reference zaf.py:378-454).

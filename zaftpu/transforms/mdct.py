@@ -24,6 +24,7 @@ import numpy as np
 
 from zaftpu.core import fft as _fft
 from zaftpu.core import validate as _validate
+from zaftpu.pallas import guarded as _pallas_guarded
 
 
 @lru_cache(maxsize=32)
@@ -65,6 +66,7 @@ def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     return jnp.swapaxes(coeffs, -1, -2)
 
 
+@_pallas_guarded
 def mdct(audio_signal, window_function):
     """Modified discrete cosine transform.
 
@@ -110,6 +112,7 @@ def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
     return signal[..., f:signal.shape[-1] - f - 1]
 
 
+@_pallas_guarded
 def imdct(audio_mdct, window_function):
     """Inverse MDCT with time-domain aliasing cancellation.
 

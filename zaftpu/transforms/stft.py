@@ -29,6 +29,7 @@ import numpy as np
 from zaftpu.core import fft as _fft
 from zaftpu.core import frame as _frame
 from zaftpu.core import validate as _validate
+from zaftpu.pallas import guarded as _pallas_guarded
 
 
 @partial(jax.jit, static_argnames=("step_length",))
@@ -58,6 +59,7 @@ def _stft_full(audio_signal, window_function, step_length):
     return jnp.swapaxes(full, -1, -2)
 
 
+@_pallas_guarded
 def stft(audio_signal, window_function, step_length: int):
     """Short-time Fourier transform.
 
@@ -100,6 +102,7 @@ def _istft_core(audio_stft: jnp.ndarray, step_length: int,
     return signal / jnp.asarray(gain, dtype=signal.dtype)
 
 
+@_pallas_guarded
 def istft(audio_stft, window_function, step_length: int):
     """Inverse short-time Fourier transform.
 
@@ -127,6 +130,7 @@ def _spectrogram_core(audio_signal, window_function, step_length):
     return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)
 
 
+@_pallas_guarded
 def spectrogram(audio_signal, window_function, step_length: int):
     """Magnitude spectrogram over bins ``1..WL/2`` — DC dropped, Nyquist kept.
 
