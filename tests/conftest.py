@@ -12,6 +12,10 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Small length-bucketing quantum for the tiny test signals (the default 128
+# frames/shard would pad 1-second fixtures to hour-bucket shapes); the
+# bucketing behavior itself is gated in tests/test_bucketing.py.
+os.environ.setdefault("ZAFTPU_BUCKET_FRAMES", "4")
 
 import jax  # noqa: E402
 

@@ -24,6 +24,7 @@ surplus frame columns are sliced off at the end.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -53,18 +54,51 @@ def _pad_last(x, pad_front: int, pad_back: int):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
 
 
+def _bucket_quantum() -> int:
+    """Frames-per-shard bucketing quantum (``ZAFTPU_BUCKET_FRAMES``, default
+    128; ``0`` disables). Signal lengths are padded up so ``t_pad`` lands on
+    a multiple of ``n_shards * quantum`` — many lengths then share one jit
+    trace (retrace hygiene, VERDICT.md round 1 item 9). At hour scale the
+    wasted frames are <1%; at tiny scale the waste is relatively large but
+    absolutely negligible."""
+    try:
+        return int(os.environ.get("ZAFTPU_BUCKET_FRAMES", "128"))
+    except ValueError:
+        return 128
+
+
+def _bucket_t_pad(t_pad: int, n_shards: int) -> int:
+    q = _bucket_quantum()
+    if q <= 0:
+        return t_pad
+    quantum = n_shards * q
+    return quantum * (-(-t_pad // quantum))
+
+
 def _plan_body(number_samples: int, pad_front: int, window_length: int,
                step: int, number_times: int, n_shards: int):
     """Frame-count padding so the sharded body holds all signal content.
 
     Returns ``(t_pad, body_len)`` with ``t_pad % n_shards == 0``,
-    ``t_pad >= number_times``, and ``body_len = t_pad*step >= pad_front + N``
-    (so the halo beyond the body is genuinely zero).
+    ``t_pad >= number_times``, ``body_len = t_pad*step >= pad_front + N``
+    (so the halo beyond the body is genuinely zero), and ``t_pad`` bucketed
+    to the retrace-hygiene quantum.
     """
     content = pad_front + number_samples
     t_min = max(number_times, -(-content // step))
-    t_pad = n_shards * (-(-t_min // n_shards))
+    t_pad = _bucket_t_pad(n_shards * (-(-t_min // n_shards)), n_shards)
     return t_pad, t_pad * step
+
+
+def _prepad_tail(x, target_len: int):
+    """Eagerly zero-extend the last axis to ``target_len`` so the jitted
+    core sees one input shape per length bucket (the eager pad compiles per
+    raw length, but in milliseconds — the expensive transform program
+    compiles once per bucket)."""
+    n = x.shape[-1]
+    if n == target_len:
+        return x
+    return _pad_last(x, 0, target_len - n)
 
 
 def _sharded_analysis(body, window_length: int, step: int, frame_fn, mesh,
@@ -136,16 +170,20 @@ def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
 
 
 @partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads", "t", "magnitude"))
+                                   "pads", "magnitude"))
 def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
-                       axis_name, pads, t, magnitude):
-    """Sharded STFT (or magnitude spectrogram) as one jitted dispatch."""
+                       axis_name, pads, magnitude):
+    """Sharded STFT (or magnitude spectrogram) as one jitted dispatch.
+
+    Returns the full ``t_pad``-wide output; the true-length slice happens
+    eagerly in the wrapper so this trace serves every signal length in a
+    bucket (the wrapper pre-pads the input to the bucket shape)."""
     half = _stft_half_sharded(audio_signal, window_function, step_length,
                               mesh, axis_name, pads)
     if magnitude:
-        return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)[..., :t]
+        return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)
     full = _fft.full_from_half(half, window_function.shape[0])
-    return jnp.swapaxes(full, -1, -2)[..., :t]
+    return jnp.swapaxes(full, -1, -2)
 
 
 def stft_sharded(audio_signal, window_function, step_length: int, mesh,
@@ -166,9 +204,10 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    return _stft_full_sharded(audio_signal, window_function,
-                              int(step_length), mesh, axis_name, pads, t,
-                              False)
+    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    out = _stft_full_sharded(audio_signal, window_function,
+                             int(step_length), mesh, axis_name, pads, False)
+    return out[..., :t]
 
 
 def spectrogram_sharded(audio_signal, window_function, step_length: int,
@@ -181,25 +220,24 @@ def spectrogram_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    return _stft_full_sharded(audio_signal, window_function,
-                              int(step_length), mesh, axis_name, pads, t,
-                              True)
+    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    out = _stft_full_sharded(audio_signal, window_function,
+                             int(step_length), mesh, axis_name, pads, True)
+    return out[..., :t]
 
 
 @partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "t_pad", "gain"))
-def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, t_pad,
-                        gain):
-    wl, t = audio_stft.shape[-2], audio_stft.shape[-1]
+                                   "gain"))
+def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, gain):
+    """Input is already frame-padded to the bucketed ``t_pad`` (zero frame
+    columns contribute nothing to the overlap-add); returns everything after
+    the front trim — the wrapper slices the true length eagerly."""
+    wl = audio_stft.shape[-2]
     frames_major = jnp.swapaxes(audio_stft, -1, -2)
-    # Zero frame columns contribute nothing to the overlap-add.
-    frames_major = jnp.pad(
-        frames_major,
-        [(0, 0)] * (frames_major.ndim - 2) + [(0, t_pad - t), (0, 0)])
     frames = _fft.real_ifft(frames_major)
     body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
     # Reference trim [wl-step : T*step) of the pre-trim signal (zaf.py:236).
-    out = body[..., wl - step_length:t * step_length]
+    out = body[..., wl - step_length:]
     return out / jnp.asarray(gain, dtype=out.dtype)
 
 
@@ -214,11 +252,15 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
     """
     audio_stft = jnp.asarray(audio_stft)
     step = int(step_length)
-    t = audio_stft.shape[-1]
+    wl, t = audio_stft.shape[-2], audio_stft.shape[-1]
     n_shards = mesh.shape[axis_name]
-    t_pad = n_shards * (-(-t // n_shards))
+    t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
     gain = _frame.cola_gain(np.asarray(window_function), step)
-    return _istft_core_sharded(audio_stft, step, mesh, axis_name, t_pad, gain)
+    padded = jnp.pad(
+        audio_stft,
+        [(0, 0)] * (audio_stft.ndim - 2) + [(0, 0), (0, t_pad - t)])
+    out = _istft_core_sharded(padded, step, mesh, axis_name, gain)
+    return out[..., :t * step - (wl - step)]
 
 
 # ---------------------------------------------------------------------------
@@ -226,21 +268,21 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads", "power", "t",
-                                   "number_coefficients"))
+                                   "pads", "power", "number_coefficients"))
 def _mel_full_sharded(audio_signal, window_function, fbank_t, dct_t,
-                      step_length, mesh, axis_name, pads, power, t,
+                      step_length, mesh, axis_name, pads, power,
                       number_coefficients):
     """Sharded mel spectrogram (power=False) or MFCCs (power=True,
-    number_coefficients>0) in one jitted dispatch."""
+    number_coefficients>0) in one jitted dispatch. ``t_pad`` wide — the
+    wrapper slices the true frame count eagerly (bucketing)."""
     mel = _mel_core_sharded(audio_signal, window_function, fbank_t,
                             step_length, mesh, axis_name, pads, power)
     if number_coefficients:
         logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, mel.dtype))
         cepstra = _policy.mxu_matmul(logmel, dct_t)
-        out = jnp.swapaxes(cepstra, -1, -2)[..., :t]
+        out = jnp.swapaxes(cepstra, -1, -2)
         return out[..., 1:number_coefficients + 1, :]
-    return jnp.swapaxes(mel, -1, -2)[..., :t]
+    return jnp.swapaxes(mel, -1, -2)
 
 
 def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
@@ -275,12 +317,14 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     op_dtype = _policy.operator_dtype(audio_signal.dtype)
-    return _mel_full_sharded(audio_signal, window_function,
-                             device_constant(
-                                 np.ascontiguousarray(fbank.T), op_dtype),
-                             jnp.zeros(()),
-                             int(step_length), mesh, axis_name, pads, False,
-                             t, 0)
+    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    out = _mel_full_sharded(audio_signal, window_function,
+                            device_constant(
+                                np.ascontiguousarray(fbank.T), op_dtype),
+                            jnp.zeros(()),
+                            int(step_length), mesh, axis_name, pads, False,
+                            0)
+    return out[..., :t]
 
 
 def mfcc_sharded(audio_signal, window_function, step_length: int,
@@ -297,25 +341,27 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     op_dtype = _policy.operator_dtype(audio_signal.dtype)
-    return _mel_full_sharded(audio_signal, window_function,
-                             device_constant(
-                                 np.ascontiguousarray(fbank.T), op_dtype),
-                             device_constant(
-                                 np.ascontiguousarray(dct_mat.T), op_dtype),
-                             int(step_length), mesh, axis_name, pads, True,
-                             t, int(number_coefficients))
+    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    out = _mel_full_sharded(audio_signal, window_function,
+                            device_constant(
+                                np.ascontiguousarray(fbank.T), op_dtype),
+                            device_constant(
+                                np.ascontiguousarray(dct_mat.T), op_dtype),
+                            int(step_length), mesh, axis_name, pads, True,
+                            int(number_coefficients))
+    return out[..., :t]
 
 
 # ---------------------------------------------------------------------------
 # MDCT family
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads", "t"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads"))
 def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
-                       axis_name, pads, t):
+                       axis_name, pads):
     coeffs = _mdct_core_sharded(audio_signal, window_function, pre, post,
                                 mesh, axis_name, pads)
-    return jnp.swapaxes(coeffs, -1, -2)[..., :t]
+    return jnp.swapaxes(coeffs, -1, -2)
 
 
 def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
@@ -350,26 +396,27 @@ def mdct_sharded(audio_signal, window_function, mesh,
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    return _mdct_full_sharded(
+    audio_signal = _prepad_tail(audio_signal, body_len - step)
+    out = _mdct_full_sharded(
         audio_signal, as_device_constant(window_function),
         device_constant(pre, ctype), device_constant(post, ctype),
-        mesh, axis_name, (step, body_len, t_pad), t)
+        mesh, axis_name, (step, body_len, t_pad))
+    return out[..., :t]
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "t_pad"))
+@partial(jax.jit, static_argnames=("mesh", "axis_name"))
 def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
-                        axis_name, t_pad):
-    f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
+                        axis_name):
+    """Input already frame-padded to the bucketed ``t_pad``; returns the
+    body after the front trim — the wrapper slices the true length."""
+    f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)
-    coeffs = jnp.pad(coeffs,
-                     [(0, 0)] * (coeffs.ndim - 2) + [(0, t_pad - t), (0, 0)])
     ctype = jnp.result_type(coeffs, pre)
     spectra = _fft.fft(coeffs * pre.astype(ctype), n=2 * f)
     frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
         jnp.real(spectra).dtype)
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
-    # Reference trim [F : F*(T+1) - F - 1) (zaf.py:1182): length F*T - F - 1.
-    return body[..., f:f * t - 1]
+    return body[..., f:]
 
 
 def imdct_sharded(audio_mdct, window_function, mesh,
@@ -379,15 +426,20 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     audio_mdct = jnp.asarray(audio_mdct)
     f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
     n_shards = mesh.shape[axis_name]
-    t_pad = n_shards * (-(-t // n_shards))
+    t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    return _imdct_core_sharded(
-        audio_mdct, as_device_constant(window_function),
+    padded = jnp.pad(
+        audio_mdct,
+        [(0, 0)] * (audio_mdct.ndim - 2) + [(0, 0), (0, t_pad - t)])
+    out = _imdct_core_sharded(
+        padded, as_device_constant(window_function),
         device_constant(pre, ctype), device_constant(post, ctype),
-        mesh, axis_name, t_pad)
+        mesh, axis_name)
+    # Reference trim [F : F*(T+1) - F - 1) (zaf.py:1182): length F*T - F - 1.
+    return out[..., :f * t - f - 1]
 
 
 # ---------------------------------------------------------------------------
