@@ -198,3 +198,28 @@ def test_shard_along_placement(signal):
     np.testing.assert_allclose(
         out, np.asarray(zaftpu.stft(signal[:8192], hamming(512), 256)),
         atol=1e-12)
+
+
+def test_cqt_tensor_parallel(signal, mesh):
+    """TP CQT (kernel frequency axis sharded, signal replicated) must match
+    the single-device fused path — SURVEY.md §2.3's tensor-parallel row."""
+    from zaftpu.sharding import cqtspectrogram_tp
+
+    kern = zaftpu.cqtkernel(44100, 24, 55, 3520)
+    x32 = signal.astype(np.float32)
+    ref = np.asarray(zaftpu.cqtspectrogram(x32, 44100, 25, kern))
+    out = np.asarray(cqtspectrogram_tp(x32, 44100, 25, kern, mesh))
+    assert out.shape == ref.shape
+    # Same contraction order per output element (only the channel axis is
+    # split), so values match to f32 roundoff.
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_cqt_tp_f64(signal, mesh):
+    from zaftpu.sharding import cqtspectrogram_tp
+
+    kern = zaftpu.cqtkernel(44100, 24, 55, 3520)
+    ref = np.asarray(zaftpu.cqtspectrogram(signal, 44100, 25, kern))
+    out = np.asarray(cqtspectrogram_tp(signal, 44100, 25, kern, mesh))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-10)

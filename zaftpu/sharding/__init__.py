@@ -9,6 +9,7 @@ from zaftpu.sharding.mesh import (  # noqa: F401
 from zaftpu.sharding.sharded import (  # noqa: F401
     cqtchromagram_sharded,
     cqtspectrogram_sharded,
+    cqtspectrogram_tp,
     imdct_sharded,
     istft_sharded,
     mdct_sharded,

@@ -507,6 +507,75 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
         (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t, 0)
 
 
+@partial(jax.jit, static_argnames=("step_length", "fft_length", "mesh",
+                                   "axis_name", "pads", "block_frames"))
+def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
+                 mesh, axis_name, pads, block_frames):
+    pad_front, body_len, t_pad = pads
+    n = padless_signal.shape[-1]
+    padded = _pad_last(padless_signal, pad_front, body_len - pad_front - n)
+    batch = _batch_spec(mesh, padded.ndim - 1)
+
+    def local(mr, mi, sig):
+        return _cqt._batched_1d(_cqt._blocked_matmul_impl)(
+            sig, mr, mi, step_length, fft_length, t_pad,
+            min(block_frames, t_pad))
+
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name), P(*batch)),
+        out_specs=P(*batch, None, axis_name))(m_real, m_imag, padded)
+    return jnp.swapaxes(out, -1, -2)
+
+
+def cqtspectrogram_tp(audio_signal, sampling_frequency, time_resolution,
+                      cqt_kernel, mesh, axis_name: str = FRAME_AXIS):
+    """Tensor-parallel CQT spectrogram: the *frequency axis* of the fused
+    time-domain kernel is sharded over ``mesh``'s ``axis_name`` axis, with
+    the signal replicated (SURVEY.md §2.3's TP row).
+
+    Each device holds ``F / n_shards`` kernel columns (~37 MB/n_shards of
+    operator state at the default 144x32768 kernel, reference workload
+    zaf.py:627-633) and computes every frame for its channel slice — zero
+    per-frame communication; the output is sharded on the channel axis.
+    Complementary to :func:`cqtspectrogram_sharded` (frame/sequence
+    parallel): frame sharding wins whenever ``T >> F`` (any signal over a
+    few seconds — docs/sharding.md); TP helps short-signal latency and
+    divides kernel memory.
+    """
+    from zaftpu.core import validate as _validate
+
+    kern = _cqt._as_kernel(cqt_kernel)
+    audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    step = round(float(sampling_frequency) / float(time_resolution))
+    n = int(audio_signal.shape[-1])
+    t = n // step
+    if t < 1:
+        raise ValueError("signal shorter than one CQT hop")
+    fft_length = kern.fft_length
+    pad_front = int(np.ceil((fft_length - step) / 2))
+    n_shards = mesh.shape[axis_name]
+
+    kdtype = (_policy.operator_dtype(np.float32)
+              if audio_signal.dtype == jnp.float32 else np.float64)
+    m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
+    n_freq = m_real.shape[1]
+    f_pad = n_shards * (-(-n_freq // n_shards))
+    if f_pad != n_freq:
+        zeros = jnp.zeros((m_real.shape[0], f_pad - n_freq), m_real.dtype)
+        m_real = jnp.concatenate([m_real, zeros], axis=1)
+        m_imag = jnp.concatenate([m_imag, zeros], axis=1)
+
+    # Frame-count padding so every lax.map block slices a full segment.
+    block = min(_cqt._BLOCK_FRAMES, max(1, t))
+    t_pad = block * (-(-t // block))
+    body_len = max(pad_front + n,
+                   (t_pad - 1) * step + fft_length)
+    out = _cqt_tp_core(audio_signal, m_real, m_imag, step, fft_length,
+                       mesh, axis_name, (pad_front, body_len, t_pad), block)
+    return out[..., :n_freq, :t]
+
+
 def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
                           octave_resolution, cqt_kernel, mesh,
                           axis_name: str = FRAME_AXIS):
