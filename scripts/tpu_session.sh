@@ -10,8 +10,15 @@ mkdir -p "$RES"
 run_stage() {  # run_stage <name> <timeout_s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   if [ -s "$RES/$name.json" ]; then
-    echo "stage $name: already done, skipping"
-    return 0
+    # A result that itself reports failure ("ok": false) is not done — a
+    # stage may emit JSON describing a mid-run tunnel wedge; retry those.
+    if grep -q '"ok": *false' "$RES/$name.json"; then
+      echo "stage $name: previous result has ok=false — rerunning"
+      rm -f "$RES/$name.json"
+    else
+      echo "stage $name: already done, skipping"
+      return 0
+    fi
   fi
   echo "=== stage $name (timeout ${tmo}s): $*"
   local out="$RES/$name.json.tmp"
@@ -34,6 +41,7 @@ run_stage() {  # run_stage <name> <timeout_s> <cmd...>
 
 # Order: cheapest/most-informative first. A wedge mid-session only costs the
 # remaining stages; completed results are kept.
+run_stage diag       900  python scripts/tpu_stages/s0_diag.py
 run_stage micro      420  python scripts/tpu_stages/s1_micro.py
 run_stage bench      1500 env BENCH_REQUIRE_TPU=1 python bench.py
 run_stage pallas_ab  1200 python scripts/tpu_stages/s3_pallas_ab.py

@@ -1,0 +1,85 @@
+"""Stage 0: pinpoint which tunnel operations fail (cheap, <60 s each).
+
+Observed 2026-08-17: CQT/MFCC stages (real outputs) succeed while every
+STFT-touching stage dies with UNIMPLEMENTED at the first device fetch, with
+in-process retries exhausted. This stage isolates the failing primitive by
+running each candidate in its own subprocess (so one poisoned op cannot
+corrupt the next probe): real rfft, complex fft compute with real fetch,
+complex scalar fetch, full-spectrum stft fetch, mdct. Prints ONE JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+PROBE = "ZAFTPU_DIAG_PROBE"
+
+CASES = {
+    "real_rfft": """
+import jax.numpy as jnp
+x = jnp.ones((16, 2048), jnp.float32)
+y = jnp.abs(jnp.fft.rfft(x, axis=-1))
+print(float(y.reshape(-1)[-1]))
+""",
+    "complex_compute_real_fetch": """
+import jax, jax.numpy as jnp
+x = jnp.ones((16, 2048), jnp.float32)
+y = jnp.fft.fft(x, axis=-1)
+r = jnp.real(y.reshape(-1)[-1]) + jnp.imag(y.reshape(-1)[-1])
+print(float(jax.device_get(r)))
+""",
+    "complex_scalar_fetch": """
+import jax, jax.numpy as jnp
+x = jnp.ones((16, 2048), jnp.float32)
+y = jnp.fft.fft(x, axis=-1)
+print(complex(jax.device_get(y.reshape(-1)[-1])))
+""",
+    "complex_array_fetch": """
+import jax, jax.numpy as jnp
+x = jnp.ones((16, 2048), jnp.float32)
+y = jnp.fft.fft(x, axis=-1)
+print(jax.device_get(y).shape)
+""",
+    "stft_fetch": """
+import numpy as np, jax
+import zaftpu
+from zaftpu.core.windows import hamming
+from zaftpu.utils.profiling import fetch_sync
+x = np.random.default_rng(0).standard_normal(44100).astype(np.float32)
+spec = zaftpu.stft(jax.numpy.asarray(x), hamming(2048).astype(np.float32), 1024)
+print(fetch_sync(spec))
+""",
+    "mdct_fetch": """
+import numpy as np, jax
+import zaftpu
+from zaftpu.core.windows import vorbis
+from zaftpu.utils.profiling import fetch_sync
+x = np.random.default_rng(0).standard_normal(44100).astype(np.float32)
+m = zaftpu.mdct(jax.numpy.asarray(x), vorbis(2048).astype(np.float32))
+print(fetch_sync(m))
+""",
+}
+
+
+def main():
+    out = {"ok": True, "cases": {}}
+    for name, code in CASES.items():
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=120,
+                capture_output=True, text=True, env=dict(os.environ))
+            ok = proc.returncode == 0
+            tail = (proc.stdout if ok else proc.stderr).strip().splitlines()
+            out["cases"][name] = {"ok": ok,
+                                  "tail": tail[-1][:160] if tail else ""}
+        except subprocess.TimeoutExpired:
+            out["cases"][name] = {"ok": False, "tail": "timeout 120s"}
+        print(f"{name}: {out['cases'][name]}", file=sys.stderr, flush=True)
+    out["ok"] = all(c["ok"] for c in out["cases"].values())
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

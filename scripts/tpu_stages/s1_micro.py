@@ -39,15 +39,21 @@ def main():
     out = {"ok": True, "devices": devs}
 
     def timeit(name, fn, frames):
-        t0 = time.perf_counter()
-        r = fn()
-        fetch_sync(r)
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(5):
+        try:
+            t0 = time.perf_counter()
             r = fn()
-        fetch_sync(r)
-        warm = (time.perf_counter() - t0) / 5
+            fetch_sync(r)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = fn()
+            fetch_sync(r)
+            warm = (time.perf_counter() - t0) / 5
+        except Exception as exc:  # keep other measurements; retry next session
+            out["ok"] = False
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            log(f"{name}: FAILED ({type(exc).__name__}) — continuing")
+            return
         out[name] = {"compile_s": round(compile_s, 2),
                      "warm_s": round(warm, 5),
                      "frames_per_s": round(frames / warm, 1)}

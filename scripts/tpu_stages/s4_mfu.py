@@ -81,12 +81,18 @@ def main():
                                  "bf16_gflops": BF16_PEAK_GFLOPS}}
 
     def measure(name, fn, frames, model):
-        fetch_sync(fn())  # warm/compile
-        t0 = time.perf_counter()
-        for _ in range(3):
-            r = fn()
-        fetch_sync(r)
-        sec = (time.perf_counter() - t0) / 3
+        try:
+            fetch_sync(fn())  # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                r = fn()
+            fetch_sync(r)
+            sec = (time.perf_counter() - t0) / 3
+        except Exception as exc:  # keep other measurements; retry next session
+            out["ok"] = False
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            log(f"{name}: FAILED ({type(exc).__name__}) — continuing")
+            return
         mbytes, mflops = model(frames)
         gbs = mbytes / sec / 1e9
         gflops = mflops / sec / 1e9
@@ -118,8 +124,9 @@ def main():
     # Binding-resource verdicts for docs/perf.md
     for name in ("stft_10min", "mdct_10min", "cqt_2min"):
         r = out[name]
-        r["binding"] = ("HBM" if r["pct_hbm_peak"] >= r["pct_f32_peak"]
-                        else "MXU")
+        if "pct_hbm_peak" in r:
+            r["binding"] = ("HBM" if r["pct_hbm_peak"] >= r["pct_f32_peak"]
+                            else "MXU")
     print(json.dumps(out))
     return 0
 

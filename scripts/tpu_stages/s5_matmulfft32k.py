@@ -46,7 +46,10 @@ def main():
     warm_s = (time.perf_counter() - t0) / 5
 
     oracle = np.fft.fft(x_np.astype(np.float64), axis=-1)
-    got = np.asarray(jax.device_get(y), dtype=np.complex128)
+    # Fetch real/imag separately: complex device->host transfers through the
+    # tunnel fail with UNIMPLEMENTED (see fetch_sync).
+    got = (np.asarray(jax.device_get(jnp.real(y)), np.float64)
+           + 1j * np.asarray(jax.device_get(jnp.imag(y)), np.float64))
     err = np.abs(got - oracle)
     scale = np.abs(oracle).max()
     snr = 10 * np.log10(

@@ -5,6 +5,10 @@
 cd /root/repo || exit 1
 export PYTHONPATH=/root/repo:/root/.axon_site
 mkdir -p docs/tpu_results
+# Single-instance lock: two watchers racing the tunnel wedges it (observed
+# 2026-08-17: duplicate s6_bf16 stages at 12:09+12:11 -> UNIMPLEMENTED storm).
+exec 9> docs/tpu_results/watch.lock
+flock -n 9 || { echo "another watcher holds the lock; exiting"; exit 0; }
 LOG=docs/tpu_results/watch.log
 probe() {
   timeout 90 python -c \

@@ -124,3 +124,40 @@ def test_sharded_bf16_equivalent(x32, kern, fbank):
                                                   mesh))
     np.testing.assert_allclose(got_c, ref_c, atol=5e-4)
     np.testing.assert_allclose(got_m, ref_m, rtol=1e-4, atol=1e-6)
+
+def test_f32_matmul_requests_highest_precision():
+    """The f32 operator-matmul path must request Precision.HIGHEST: XLA's
+    default TPU matmul truncates f32 operands to bf16 (one MXU pass), which
+    would make the f32 path bit-identical to the bf16 path on hardware
+    (observed on-chip 2026-08-17: SNR(bf16 vs f32) = inf). CPU tests cannot
+    observe the truncation itself, so pin the precision request in the jaxpr.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import policy
+
+    jaxpr = jax.make_jaxpr(policy.mxu_matmul)(
+        jnp.zeros((4, 8), jnp.float32), jnp.zeros((8, 3), jnp.float32))
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "mxu_matmul f32 path must lower to dot_general"
+    for eqn in dots:
+        assert eqn.params["precision"] == (
+            jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+
+
+def test_bf16_matmul_stays_single_pass():
+    """The bf16 path must NOT request HIGHEST (that would defeat the one-pass
+    MXU speedup): default precision with bf16 operands is the fast mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import policy
+
+    jaxpr = jax.make_jaxpr(policy.mxu_matmul)(
+        jnp.zeros((4, 8), jnp.float32), jnp.zeros((8, 3), jnp.bfloat16))
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots
+    for eqn in dots:
+        assert eqn.params["precision"] != (
+            jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)

@@ -121,11 +121,19 @@ def matmul_fft(x: jnp.ndarray) -> jnp.ndarray:
         cdtype = (jnp.complex64
                   if jnp.result_type(x, jnp.float32) == jnp.float32
                   else jnp.complex128)
+    # Precision.HIGHEST: XLA's default TPU matmul truncates f32 operands to
+    # bf16 (one MXU pass) — unacceptable for an FFT engine whose accuracy
+    # contract is ~f32 (133 dB round trips). HIGHEST selects the multi-pass
+    # decomposition recovering true f32 products.
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
     a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2).astype(cdtype)
     b = jnp.matmul(a, jnp.asarray(w2.astype(cdtype)),
-                   preferred_element_type=cdtype)
+                   preferred_element_type=cdtype, precision=hi)
     b = b * jnp.asarray(twiddle.astype(cdtype))
-    c = jnp.einsum("nk,...nm->...km", jnp.asarray(w1.astype(cdtype)), b)
+    c = jnp.einsum("nk,...nm->...km", jnp.asarray(w1.astype(cdtype)), b,
+                   precision=hi)
     return c.reshape(*x.shape[:-1], n)
 
 

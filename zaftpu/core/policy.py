@@ -77,9 +77,19 @@ def operator_dtype(input_dtype):
 
 def mxu_matmul(a, b):
     """``a @ b`` against a precomputed operator ``b`` with TPU mixed
-    precision: a bf16 operator lowers ``a`` to bf16 for the MXU and
-    accumulates in float32; any other operator dtype is promoted to ``a``'s
-    dtype (the exact f32/f64 path)."""
+    precision: a bf16 operator lowers ``a`` to bf16 for the MXU (one systolic
+    pass, f32 accumulation); any other operator dtype is promoted to ``a``'s
+    dtype and computed at ``Precision.HIGHEST``.
+
+    The explicit ``HIGHEST`` matters: XLA's *default* matmul precision on TPU
+    truncates f32 operands to bf16 (a single MXU pass) — bit-identical to the
+    explicit bf16 path, which would make the framework's "f32" operator
+    matmuls silently bf16-accurate and the bf16/f32 A/B meaningless (observed
+    on hardware 2026-08-17: SNR(bf16 vs f32) = inf). ``HIGHEST`` selects the
+    6-pass bf16 decomposition that recovers true f32 products, so the dtype
+    dial is honest: f64 = oracle, f32 = accurate fast path, bf16 = max MXU
+    rate at documented SNR.
+    """
     import jax
 
     if b.dtype == jnp.bfloat16:
@@ -96,4 +106,5 @@ def mxu_matmul(a, b):
                              preferred_element_type=jnp.float32)
         out = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
         return acc.astype(out)
-    return jnp.matmul(a, b.astype(a.dtype), preferred_element_type=a.dtype)
+    return jnp.matmul(a, b.astype(a.dtype), preferred_element_type=a.dtype,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -150,7 +150,8 @@ def streaming_melspectrogram(path, window, step: int, mel_filterbank,
         b = (samples.shape[0] - (wl - step)) // step
         frames = _frame.extract_frames(samples, wl, step, b)
         mag = jnp.abs(_fft.rfft(frames * window_dev))[:, 1:]
-        return jnp.matmul(mag, fbank_t, preferred_element_type=mag.dtype)
+        return jnp.matmul(mag, fbank_t, preferred_element_type=mag.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
 
     st = StreamingTransform(path, wl, step, pad_front, t, block_fn,
                             block_frames, checkpoint_dir)

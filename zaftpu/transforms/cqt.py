@@ -237,7 +237,8 @@ def _cqt_apply(signal, k_reduced, gather_cols, conj_mask, pads, step_length,
             gathered = half_spec[:, gather_cols]       # (B, C)
             gathered = jnp.where(conj_mask, jnp.conj(gathered), gathered)
             acc = jnp.matmul(gathered, k_reduced.T.astype(half_spec.dtype),
-                             preferred_element_type=half_spec.dtype)
+                             preferred_element_type=half_spec.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
             return jnp.abs(acc)                        # (B, F)
 
         out = jax.lax.map(one_block, jnp.arange(blocks))

@@ -46,11 +46,36 @@ class TransformStats:
         return f"{self.name}: {self.seconds * 1e3:.2f} ms{extra}"
 
 
-def fetch_sync(x):
+def fetch_sync(x, retries: int = 3, delay_s: float = 2.0):
     """Force completion of ``x`` via a dependent one-element device fetch
     (reliable through remote-device tunnels where ``block_until_ready`` can
-    return early). Returns the fetched element."""
-    return jax.device_get(x.reshape(-1)[-1])
+    return early). Returns the fetched element.
+
+    Transient ``UNIMPLEMENTED`` transfer errors (observed through the axon
+    tunnel) are retried with linear backoff before giving up — the device
+    buffer is usually still valid and a later fetch succeeds. Complex scalars
+    are fetched as ``|x|`` — complex device->host transfers through the
+    tunnel fail deterministically with UNIMPLEMENTED (observed 2026-08-17:
+    every STFT-touching stage died at its first fetch while real-output
+    stages succeeded), and a dependent real scalar forces completion just
+    as well.
+    """
+    import jax.numpy as jnp
+
+    last = x.reshape(-1)[-1]
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        last = jnp.abs(last)
+    for attempt in range(retries + 1):
+        try:
+            return jax.device_get(last)
+        except Exception as exc:  # jax.errors.JaxRuntimeError and kin
+            transient = "UNIMPLEMENTED" in str(exc)
+            if not transient or attempt == retries:
+                raise
+            logger.warning("fetch_sync: transient %s (attempt %d/%d) — "
+                           "retrying", type(exc).__name__, attempt + 1,
+                           retries)
+            time.sleep(delay_s * (attempt + 1))
 
 
 def _block(x):
