@@ -161,3 +161,18 @@ def test_bf16_matmul_stays_single_pass():
     for eqn in dots:
         assert eqn.params["precision"] != (
             jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+
+def test_precision_lever(monkeypatch):
+    """ZAFTPU_PRECISION selects the exact-path MXU decomposition depth."""
+    import jax
+
+    from zaftpu.core import policy
+
+    assert policy.matmul_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("ZAFTPU_PRECISION", "high")
+    assert policy.matmul_precision() == jax.lax.Precision.HIGH
+    monkeypatch.setenv("ZAFTPU_PRECISION", "default")
+    assert policy.matmul_precision() == jax.lax.Precision.DEFAULT
+    monkeypatch.setenv("ZAFTPU_PRECISION", "bogus")
+    with pytest.raises(ValueError):
+        policy.matmul_precision()

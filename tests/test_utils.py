@@ -157,3 +157,52 @@ def test_device_constant_fifo_bound():
         assert devcache.cache_size() <= devcache._MAX_ENTRIES
     finally:
         devcache.clear()
+
+
+class TestComplexSafeUpload:
+    """Complex constants must upload as real/imag pairs combined on device:
+    complex host<->device transfers fail with UNIMPLEMENTED through the axon
+    TPU tunnel (docs/tpu_results/diag.json, 2026-08-17) and a complex HLO
+    constant can poison the process the same way."""
+
+    def test_device_constant_complex_values(self):
+        import numpy as np
+
+        from zaftpu.utils import devcache
+
+        z = (np.random.default_rng(0).standard_normal((5, 7))
+             + 1j * np.random.default_rng(1).standard_normal((5, 7)))
+        dev = devcache.device_constant(z)
+        assert dev.dtype == np.complex128
+        np.testing.assert_array_equal(np.asarray(dev), z)
+        c64 = devcache.device_constant(z, np.complex64)
+        assert c64.dtype == np.complex64
+        np.testing.assert_array_equal(np.asarray(c64), z.astype(np.complex64))
+
+    def test_as_device_array_complex_and_passthrough(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from zaftpu.utils.devcache import as_device_array
+
+        z = np.array([[1 + 2j, 3 - 4j]], np.complex64)
+        dev = as_device_array(z)
+        assert dev.dtype == np.complex64
+        np.testing.assert_array_equal(np.asarray(dev), z)
+        already = jnp.asarray([1.0, 2.0])
+        assert as_device_array(already) is already
+
+    def test_no_complex_constants_in_matmul_fft_hlo(self):
+        """The four-step FFT's jitted HLO must not embed complex constants
+        (they are assembled on device from real parts)."""
+        import jax
+        import jax.numpy as jnp
+
+        from zaftpu.core.fft import matmul_fft
+
+        lowered = jax.jit(matmul_fft).lower(
+            jax.ShapeDtypeStruct((4, 256), jnp.float32))
+        text = lowered.as_text()
+        for line in text.splitlines():
+            if "stablehlo.constant" in line and "complex" in line:
+                raise AssertionError(f"complex HLO constant: {line[:120]}")

@@ -121,19 +121,30 @@ def matmul_fft(x: jnp.ndarray) -> jnp.ndarray:
         cdtype = (jnp.complex64
                   if jnp.result_type(x, jnp.float32) == jnp.float32
                   else jnp.complex128)
-    # Precision.HIGHEST: XLA's default TPU matmul truncates f32 operands to
-    # bf16 (one MXU pass) — unacceptable for an FFT engine whose accuracy
-    # contract is ~f32 (133 dB round trips). HIGHEST selects the multi-pass
-    # decomposition recovering true f32 products.
-    import jax
+    # Precision: XLA's default TPU matmul truncates f32 operands to bf16
+    # (one MXU pass) — unacceptable for an FFT engine whose accuracy
+    # contract is ~f32 (133 dB round trips). The policy default (HIGHEST)
+    # selects the multi-pass decomposition recovering true f32 products;
+    # ZAFTPU_PRECISION=high trades 2x fewer passes for ~1 decimal digit.
+    from zaftpu.core.policy import matmul_precision
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = matmul_precision()
+
+    def const_c(m):
+        # Embed complex constants as real/imag pairs combined on device:
+        # complex transfers/HLO constants hit UNIMPLEMENTED through the axon
+        # tunnel (docs/tpu_results/diag.json).
+        import jax
+
+        rdtype = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+        return jax.lax.complex(jnp.asarray(m.real.astype(rdtype)),
+                               jnp.asarray(m.imag.astype(rdtype)))
+
     a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2).astype(cdtype)
-    b = jnp.matmul(a, jnp.asarray(w2.astype(cdtype)),
-                   preferred_element_type=cdtype, precision=hi)
-    b = b * jnp.asarray(twiddle.astype(cdtype))
-    c = jnp.einsum("nk,...nm->...km", jnp.asarray(w1.astype(cdtype)), b,
+    b = jnp.matmul(a, const_c(w2), preferred_element_type=cdtype,
                    precision=hi)
+    b = b * const_c(twiddle)
+    c = jnp.einsum("nk,...nm->...km", const_c(w1), b, precision=hi)
     return c.reshape(*x.shape[:-1], n)
 
 

@@ -75,6 +75,26 @@ def operator_dtype(input_dtype):
     return jnp.dtype(input_dtype)
 
 
+def matmul_precision():
+    """XLA precision for exact-path (non-bf16) operator matmuls.
+
+    ``ZAFTPU_PRECISION``: ``highest`` (default — 6-pass bf16 decomposition,
+    true f32 products), ``high`` (3 passes, ~f32 for audio-range data), or
+    ``default`` (XLA's single bf16 pass — only meaningful for A/B
+    measurement, as it makes f32 matmuls bf16-accurate on TPU).
+    """
+    import jax
+
+    env = os.environ.get("ZAFTPU_PRECISION", "highest").lower()
+    table = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}
+    if env not in table:
+        raise ValueError(
+            f"ZAFTPU_PRECISION must be default/high/highest, got {env!r}")
+    return table[env]
+
+
 def mxu_matmul(a, b):
     """``a @ b`` against a precomputed operator ``b`` with TPU mixed
     precision: a bf16 operator lowers ``a`` to bf16 for the MXU (one systolic
@@ -107,4 +127,4 @@ def mxu_matmul(a, b):
         out = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
         return acc.astype(out)
     return jnp.matmul(a, b.astype(a.dtype), preferred_element_type=a.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=matmul_precision())

@@ -250,7 +250,9 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
     region through one ``ppermute`` hop; the neighbor sums them into its
     block head. Values identical to :func:`zaftpu.istft`.
     """
-    audio_stft = jnp.asarray(audio_stft)
+    from zaftpu.utils.devcache import as_device_array
+
+    audio_stft = as_device_array(audio_stft)  # complex-transfer-safe upload
     step = int(step_length)
     wl, t = audio_stft.shape[-2], audio_stft.shape[-1]
     n_shards = mesh.shape[axis_name]

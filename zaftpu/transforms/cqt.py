@@ -389,8 +389,10 @@ def _device_oracle_kernel(kern: CqtKernel):
         gather_cols = np.where(all_cols <= fft_length // 2, all_cols,
                                fft_length - all_cols)
         conj_mask = all_cols > fft_length // 2
+        from zaftpu.utils.devcache import _upload
+
         hit = (kern,
-               jnp.asarray(k_reduced.astype(np.complex128)),
+               _upload(k_reduced.astype(np.complex128)),
                jnp.asarray(gather_cols.astype(np.int32)),
                jnp.asarray(conj_mask))
         if not _tracing_active():

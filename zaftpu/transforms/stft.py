@@ -116,7 +116,11 @@ def istft(audio_stft, window_function, step_length: int):
         same trim/normalization semantics as reference zaf.py:144-243.
         Exact reconstruction needs a COLA window (periodic, step | WL).
     """
-    audio_stft = _validate.check_spectrum(jnp.asarray(audio_stft))
+    from zaftpu.utils.devcache import as_device_array
+
+    # as_device_array: a host-side complex spectrogram must upload as
+    # real/imag pairs (complex transfers fail through the axon tunnel).
+    audio_stft = _validate.check_spectrum(as_device_array(audio_stft))
     _validate.check_window(window_function)
     step_length = _validate.check_step(step_length, audio_stft.shape[-2])
     gain = _frame.cola_gain(np.asarray(window_function), step_length)

@@ -25,6 +25,24 @@ _MAX_ENTRIES = 256  # FIFO-bounded: <=256 x <2MB caps device-side growth
 _cache: dict = {}
 
 
+def _upload(host: np.ndarray):
+    """``jnp.asarray`` with complex arrays shipped as real/imag pairs and
+    combined on device. Complex host<->device transfers fail with
+    UNIMPLEMENTED through the axon TPU tunnel (diagnosed 2026-08-17,
+    docs/tpu_results/diag.json: complex compute is fine, complex transfer in
+    either direction is not), and a complex constant embedded in HLO can
+    poison the process the same way. Two real transfers plus an on-device
+    ``lax.complex`` sidestep both — and are a no-op-cost path everywhere
+    else."""
+    import jax
+
+    if np.iscomplexobj(host):
+        re = jnp.asarray(np.ascontiguousarray(host.real))
+        im = jnp.asarray(np.ascontiguousarray(host.imag))
+        return jax.lax.complex(re, im)
+    return jnp.asarray(host)
+
+
 def _tracing_active() -> bool:
     try:
         from jax._src import core as _core
@@ -51,13 +69,13 @@ def device_constant(array, dtype=None):
     host = np.asarray(array)
     want = np.dtype(dtype) if dtype is not None else host.dtype
     if _tracing_active() or host.nbytes >= _CONTENT_LIMIT:
-        return jnp.asarray(host.astype(want) if want != host.dtype else host)
+        return _upload(host.astype(want) if want != host.dtype else host)
     digest = hashlib.md5(host.tobytes()).hexdigest()
     key = ("content", digest, host.shape, str(host.dtype), str(want))
     hit = _cache.get(key)
     if hit is not None:
         return hit[1]
-    dev = jnp.asarray(host.astype(want) if want != host.dtype else host)
+    dev = _upload(host.astype(want) if want != host.dtype else host)
     while len(_cache) >= _MAX_ENTRIES:
         # FIFO eviction (dict preserves insertion order): a long-lived
         # process cycling many distinct windows/filterbanks must not grow
@@ -75,6 +93,17 @@ def as_device_constant(x, dtype=None):
     if isinstance(x, jax.Array) or isinstance(x, jax.core.Tracer):
         return x if dtype is None else x.astype(dtype)
     return device_constant(x, dtype)
+
+
+def as_device_array(x):
+    """``jnp.asarray`` for *caller data* (not cached): complex host arrays
+    are shipped as real/imag pairs (see :func:`_upload`); jax arrays and
+    tracers pass through untouched."""
+    import jax
+
+    if isinstance(x, jax.Array) or isinstance(x, jax.core.Tracer):
+        return x
+    return _upload(np.asarray(x))
 
 
 def cache_size() -> int:
