@@ -267,49 +267,77 @@ def _probe_tpu(extra_env, timeout_s=120):
         return False
 
 
+def _run_rung(label, extra, timeout_s):
+    """One worker attempt; returns the parsed metric dict or None. The
+    worker's stdout (the JSON line) is captured so the supervisor alone
+    prints the final metric; worker stderr streams through for progress."""
+    env = dict(os.environ, BENCH_WORKER="1", **extra)
+    log(f"--- bench attempt: {label}")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log(f"{label} attempt timed out after {timeout_s}s")
+        return None
+    if proc.stderr:
+        log(proc.stderr.rstrip()[-4000:])
+    if proc.returncode != 0:
+        log(f"{label} attempt failed (rc={proc.returncode})")
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "value" in parsed:
+            parsed["config"] = label
+            return parsed
+    log(f"{label} attempt printed no metric line")
+    return None
+
+
 def _supervise():
-    """Run the measurement in a worker subprocess through a fallback ladder:
-    TPU -> TPU without Pallas kernels (Mosaic compiles are the most fragile
-    tunnel stage) -> TPU with the matmul FFT engine (compiles in seconds) ->
-    host CPU (the baseline is also a CPU measurement, BASELINE.md). Every
-    TPU rung is gated by a short micro-probe so a wedged tunnel costs ~2 min,
-    not the serial sum of all rung budgets. The supervisor kills a hung
-    worker on timeout, so exactly one worker ever reaches the final JSON
-    print — no duplicate metric lines."""
+    """Measure through a ladder of worker subprocesses: TPU (Pallas + native
+    FFT) -> TPU without Pallas -> TPU with the matmul FFT engine; every TPU
+    rung is gated by a short micro-probe so a wedged tunnel costs ~2 min,
+    not the serial sum of rung budgets. ALL healthy TPU rungs run and the
+    BEST frames/s is reported (the rungs are genuinely different programs —
+    measured 2026-08-17: the matmul-FFT rung reached 1.24M frames/s while
+    the native-FFT rung was still failing). Falls back to host CPU (the
+    baseline is also a CPU measurement) only when no TPU rung succeeds."""
     budget = int(os.environ.get("BENCH_TIMEOUT", "420"))
     ladder = [
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
         ("TPU (matmul FFT engine)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul"}, budget),
-        ("CPU", {"BENCH_FORCE_CPU": "1"}, 1800),
     ]
-    if os.environ.get("BENCH_REQUIRE_TPU") == "1":
-        # Watcher sessions only want genuine TPU numbers — a CPU fallback
-        # result would be persisted and stop future retries.
-        ladder = ladder[:-1]
+    results = []
     tpu_dead = False
     for label, extra, timeout_s in ladder:
-        if label.startswith("TPU"):
-            if tpu_dead:
-                continue
-            if not _probe_tpu(extra):
-                log(f"skipping all TPU rungs (probe failed before {label})")
-                tpu_dead = True
-                continue
-        env = dict(os.environ, BENCH_WORKER="1", **extra)
-        log(f"--- bench attempt: {label}")
-        try:
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                timeout=timeout_s).returncode
-        except subprocess.TimeoutExpired:
-            log(f"{label} attempt timed out after {timeout_s}s")
+        if tpu_dead:
             continue
-        if rc == 0:
-            return 0
-        log(f"{label} attempt failed (rc={rc})")
-    return 1
+        if not _probe_tpu(extra):
+            log(f"skipping remaining TPU rungs (probe failed before {label})")
+            tpu_dead = True
+            continue
+        r = _run_rung(label, extra, timeout_s)
+        if r is not None:
+            log(f"{label}: {r['value']:,.0f} {r['unit']}")
+            results.append(r)
+    if not results and os.environ.get("BENCH_REQUIRE_TPU") != "1":
+        # Watcher sessions only want genuine TPU numbers — a CPU fallback
+        # result would be persisted and stop future retries.
+        r = _run_rung("CPU", {"BENCH_FORCE_CPU": "1"}, 1800)
+        if r is not None:
+            results.append(r)
+    if not results:
+        return 1
+    best = max(results, key=lambda r: r["value"])
+    log(f"best rung: {best['config']}")
+    print(json.dumps(best))
+    return 0
 
 
 if __name__ == "__main__":
