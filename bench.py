@@ -206,25 +206,42 @@ def main():
         s, e = jax.device_get(sq_err(c, r))
         num += float(s)
         den += float(e)
-    log(f"STFT round-trip SNR (f32): {10 * np.log10(num / den):.1f} dB "
+    stft_snr = 10 * np.log10(num / den)
+    log(f"STFT round-trip SNR (f32): {stft_snr:.1f} dB "
         f"(reference f64: 311.7 dB)")
 
-    tdac = vorbis(WL).astype(np.float32)
-    t_mdct = sum(int(np.ceil(len(c) / STEP)) + 1 for c in chunks_np)
-    mdct_s, coeffs = timed_chunks(lambda x: zaftpu.mdct(x, tdac), chunks)
-    log(f"MDCT:  {mdct_s:.3f} s -> {t_mdct / mdct_s:,.0f} frames/s "
-        f"(reference 1 vCPU: 6,330 frames/s)")
+    # MDCT/IMDCT are supplementary — a tunnel failure here must not discard
+    # the headline STFT measurement (the rungs are already gated on STFT).
+    mdct_snr = None
+    try:
+        tdac = vorbis(WL).astype(np.float32)
+        t_mdct = sum(int(np.ceil(len(c) / STEP)) + 1 for c in chunks_np)
+        mdct_s, coeffs = timed_chunks(lambda x: zaftpu.mdct(x, tdac), chunks)
+        log(f"MDCT:  {mdct_s:.3f} s -> {t_mdct / mdct_s:,.0f} frames/s "
+            f"(reference 1 vCPU: 6,330 frames/s)")
 
-    imdct_s, recs2 = timed_chunks(lambda c: zaftpu.imdct(c, tdac), coeffs)
-    log(f"IMDCT: {imdct_s:.3f} s -> {t_mdct / imdct_s:,.0f} frames/s")
+        imdct_s, recs2 = timed_chunks(lambda c: zaftpu.imdct(c, tdac), coeffs)
+        log(f"IMDCT: {imdct_s:.3f} s -> {t_mdct / imdct_s:,.0f} frames/s")
 
-    num = den = 0.0
-    for c, r in zip(chunks, recs2):
-        s, e = jax.device_get(sq_err(c, r))
-        num += float(s)
-        den += float(e)
-    log(f"MDCT round-trip SNR (f32): {10 * np.log10(num / den):.1f} dB "
-        f"(reference f64: 284 dB)")
+        num = den = 0.0
+        for c, r in zip(chunks, recs2):
+            s, e = jax.device_get(sq_err(c, r))
+            num += float(s)
+            den += float(e)
+        mdct_snr = 10 * np.log10(num / den)
+        log(f"MDCT round-trip SNR (f32): {mdct_snr:.1f} dB "
+            f"(reference f64: 284 dB)")
+    except Exception as exc:  # noqa: BLE001
+        log(f"MDCT/IMDCT measurement failed ({str(exc)[:80]}) — "
+            f"continuing with the STFT headline")
+
+    # Accuracy gate: a fast rung only counts if reconstruction stays beyond
+    # the 16-bit audio noise floor (96 dB) — speed must not buy silent
+    # precision loss (e.g. an over-aggressive ZAFTPU_PRECISION setting).
+    snrs = [stft_snr] + ([mdct_snr] if mdct_snr is not None else [])
+    if min(snrs) < 96.0:
+        log(f"REJECTED: round-trip SNR below the 96 dB floor ({snrs})")
+        sys.exit(2)
 
     print(json.dumps({
         "metric": "stft_frames_per_sec_1h_audio",
@@ -312,6 +329,9 @@ def _supervise():
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
         ("TPU (matmul FFT engine)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul"}, budget),
+        ("TPU (matmul FFT, 3-pass)",
+         {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul",
+          "ZAFTPU_PRECISION": "high"}, budget),
     ]
     results = []
     tpu_dead = False

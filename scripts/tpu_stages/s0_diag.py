@@ -16,29 +16,48 @@ import sys
 PROBE = "ZAFTPU_DIAG_PROBE"
 
 CASES = {
+    # NB: every compute case jits over a *runtime argument* — a constant
+    # input lets XLA fold the whole program at compile time, making the case
+    # vacuous (that bug hid the complex-forward-FFT failure on 2026-08-17).
     "real_rfft": """
-import jax.numpy as jnp
-x = jnp.ones((16, 2048), jnp.float32)
-y = jnp.abs(jnp.fft.rfft(x, axis=-1))
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.asarray(np.random.default_rng(0).standard_normal((16, 2048)).astype(np.float32))
+y = jax.jit(lambda v: jnp.abs(jnp.fft.rfft(v, axis=-1)))(x)
 print(float(y.reshape(-1)[-1]))
 """,
-    "complex_compute_real_fetch": """
-import jax, jax.numpy as jnp
-x = jnp.ones((16, 2048), jnp.float32)
-y = jnp.fft.fft(x, axis=-1)
-r = jnp.real(y.reshape(-1)[-1]) + jnp.imag(y.reshape(-1)[-1])
-print(float(jax.device_get(r)))
+    "fft_of_real_input": """
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.asarray(np.random.default_rng(0).standard_normal((16, 2048)).astype(np.float32))
+y = jax.jit(lambda v: jnp.fft.fft(v, axis=-1))(x)
+s = y.reshape(-1)[-1]
+print(float(jax.device_get(jnp.real(s) + jnp.imag(s))))
+""",
+    "fft_of_complex_input": """
+import jax, jax.numpy as jnp, numpy as np
+a = jnp.asarray(np.random.default_rng(0).standard_normal((16, 2048)).astype(np.float32))
+b = jnp.asarray(np.random.default_rng(1).standard_normal((16, 2048)).astype(np.float32))
+y = jax.jit(lambda p, q: jnp.fft.fft(jax.lax.complex(p, q), axis=-1))(a, b)
+s = y.reshape(-1)[-1]
+print(float(jax.device_get(jnp.real(s) + jnp.imag(s))))
+""",
+    "ifft_of_complex_input": """
+import jax, jax.numpy as jnp, numpy as np
+a = jnp.asarray(np.random.default_rng(0).standard_normal((16, 2048)).astype(np.float32))
+b = jnp.asarray(np.random.default_rng(1).standard_normal((16, 2048)).astype(np.float32))
+y = jax.jit(lambda p, q: jnp.fft.ifft(jax.lax.complex(p, q), axis=-1))(a, b)
+s = y.reshape(-1)[-1]
+print(float(jax.device_get(jnp.real(s) + jnp.imag(s))))
 """,
     "complex_scalar_fetch": """
-import jax, jax.numpy as jnp
-x = jnp.ones((16, 2048), jnp.float32)
-y = jnp.fft.fft(x, axis=-1)
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.asarray(np.random.default_rng(0).standard_normal((16, 2048)).astype(np.float32))
+y = jax.jit(lambda v: jnp.fft.fft(v, axis=-1))(x)
 print(complex(jax.device_get(y.reshape(-1)[-1])))
 """,
     "complex_array_fetch": """
-import jax, jax.numpy as jnp
-x = jnp.ones((16, 2048), jnp.float32)
-y = jnp.fft.fft(x, axis=-1)
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.asarray(np.random.default_rng(0).standard_normal((16, 2048)).astype(np.float32))
+y = jax.jit(lambda v: jnp.fft.fft(v, axis=-1))(x)
 print(jax.device_get(y).shape)
 """,
     "stft_fetch": """
@@ -51,6 +70,17 @@ spec = zaftpu.stft(jax.numpy.asarray(x), hamming(2048).astype(np.float32), 1024)
 print(fetch_sync(spec))
 """,
     "mdct_fetch": """
+import numpy as np, jax
+import zaftpu
+from zaftpu.core.windows import vorbis
+from zaftpu.utils.profiling import fetch_sync
+x = np.random.default_rng(0).standard_normal(44100).astype(np.float32)
+m = zaftpu.mdct(jax.numpy.asarray(x), vorbis(2048).astype(np.float32))
+print(fetch_sync(m))
+""",
+    "mdct_fetch_via_ifft": """
+import os
+os.environ["ZAFTPU_CFFT"] = "ifft"
 import numpy as np, jax
 import zaftpu
 from zaftpu.core.windows import vorbis

@@ -38,12 +38,23 @@ def rfft(frames: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
 
 
 def fft(frames: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
-    """Full complex FFT along the last axis."""
+    """Full complex FFT along the last axis.
+
+    ``ZAFTPU_CFFT=ifft`` computes complex-input forward FFTs through the
+    exact identity ``FFT(z) = conj(IFFT(conj(z))) * n`` — a workaround for
+    backends whose forward-FFT-of-complex op fails while IFFT works (the
+    axon tunnel, diagnosed 2026-08-17; the scale factors are exact powers of
+    two, so the identity is rounding-equivalent).
+    """
     if n is not None and n != frames.shape[-1]:
         frames = _pad_or_trim(frames, n)
     length = frames.shape[-1]
     if _use_matmul_engine(length):
         return matmul_fft(frames)
+    if (os.environ.get("ZAFTPU_CFFT") == "ifft"
+            and jnp.issubdtype(frames.dtype, jnp.complexfloating)):
+        scale = jnp.asarray(length, jnp.real(frames).dtype)
+        return jnp.conj(jnp.fft.ifft(jnp.conj(frames), axis=-1)) * scale
     return jnp.fft.fft(frames, axis=-1)
 
 
@@ -140,18 +151,64 @@ def matmul_fft(x: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.complex(jnp.asarray(m.real.astype(rdtype)),
                                jnp.asarray(m.imag.astype(rdtype)))
 
-    a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2).astype(cdtype)
-    b = jnp.matmul(a, const_c(w2), preferred_element_type=cdtype,
-                   precision=hi)
+    a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        b = jnp.matmul(a.astype(cdtype), const_c(w2),
+                       preferred_element_type=cdtype, precision=hi)
+    else:
+        # Real input: stage 1 as two real matmuls (half the MXU work of a
+        # complex x complex product on promoted input).
+        rdtype = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+        ar = a.astype(rdtype)
+        import jax
+
+        b = jax.lax.complex(
+            jnp.matmul(ar, jnp.asarray(w2.real.astype(rdtype)),
+                       preferred_element_type=rdtype, precision=hi),
+            jnp.matmul(ar, jnp.asarray(w2.imag.astype(rdtype)),
+                       preferred_element_type=rdtype, precision=hi))
     b = b * const_c(twiddle)
     c = jnp.einsum("nk,...nm->...km", const_c(w1), b, precision=hi)
     return c.reshape(*x.shape[:-1], n)
 
 
 def matmul_rfft(x: jnp.ndarray) -> jnp.ndarray:
-    """Real-input spectrum bins ``0..N/2`` via :func:`matmul_fft`."""
+    """Real-input spectrum bins ``0..N/2`` via :func:`matmul_fft`.
+
+    Batched real rows are row-packed: adjacent pairs ``(x_even, x_odd)``
+    become one complex row ``x_even + i*x_odd``, one complex FFT computes
+    both spectra, and conjugate symmetry unpacks them —
+    ``X_even[k] = (Z[k] + conj(Z[-k]))/2``,
+    ``X_odd[k] = (Z[k] - conj(Z[-k]))/(2i)``. Halves the four-step matmul
+    work for the STFT/DCT analysis paths (the frame axis is always the
+    second-to-last here).
+    """
     n = x.shape[-1]
+    if (x.ndim >= 2 and x.shape[-2] >= 2
+            and not jnp.issubdtype(x.dtype, jnp.complexfloating)):
+        return _packed_rfft(x)
     return matmul_fft(x)[..., : n // 2 + 1]
+
+
+def _packed_rfft(x: jnp.ndarray) -> jnp.ndarray:
+    """Batched rfft over the last axis via pair-packing along axis -2."""
+    import jax
+
+    *lead, b, n = x.shape
+    half = n // 2 + 1
+    if b % 2:
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 1), (0, 0)])
+    z = jax.lax.complex(x[..., 0::2, :], x[..., 1::2, :])
+    zf = matmul_fft(z)
+    # conj(Z[(n-k) mod n]) for k = 0..n/2 — i.e. bins [0, n-1, ..., n/2].
+    zrev = jnp.concatenate([zf[..., :1], zf[..., :0:-1]], axis=-1)
+    zh, zc = zf[..., :half], jnp.conj(zrev[..., :half])
+    x_even = 0.5 * (zh + zc)
+    diff = zh - zc  # = 2i * X_odd, so X_odd = (imag(diff) - i*real(diff))/2
+    x_odd = jax.lax.complex(0.5 * jnp.imag(diff), -0.5 * jnp.real(diff))
+    out = jnp.stack([x_even, x_odd], axis=-2)  # (..., b/2, 2, half)
+    out = out.reshape(*lead, -1, half)
+    return out[..., :b, :]
 
 
 def matmul_ifft(x: jnp.ndarray) -> jnp.ndarray:
