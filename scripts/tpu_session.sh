@@ -48,4 +48,5 @@ run_stage pallas_ab  1200 python scripts/tpu_stages/s3_pallas_ab.py
 run_stage mfu        1200 python scripts/tpu_stages/s4_mfu.py
 run_stage mmfft32k   900  python scripts/tpu_stages/s5_matmulfft32k.py
 run_stage bf16       900  python scripts/tpu_stages/s6_bf16.py
+run_stage cqt_tune   3000 python scripts/tpu_stages/s7_cqt_tune.py
 echo "session complete"

@@ -28,6 +28,7 @@ runs T sequential 32k-point FFTs each followed by a CSR matvec
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -205,7 +206,11 @@ def _evict_kernel(key):
             _device_kernels.pop(dkey, None)
 
 
-_BLOCK_FRAMES = 128  # frames per on-device block (bounds memory at ~17 MB)
+# Frames per on-device block: bounds the gathered-frames buffer at
+# block * fft_length * 4 bytes (~17 MB at 128). ZAFTPU_CQT_BLOCK overrides
+# for hardware tuning (larger blocks amortize per-block overhead and give
+# the MXU taller matmuls; see scripts/tpu_stages/s7_cqt_tune.py).
+_BLOCK_FRAMES = int(os.environ.get("ZAFTPU_CQT_BLOCK", "128"))
 
 
 @partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
