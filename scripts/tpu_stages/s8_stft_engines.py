@@ -1,0 +1,122 @@
+"""Stage 8: FFT-engine A/B for the STFT hot path at 10-minute scale.
+
+The native TPU FFT runs the hour-scale STFT at ~4% of HBM peak
+(docs/tpu_results/mfu.json) — the MXU sits idle. This stage races four
+formulations of the same 10-min STFT + ISTFT (window 2048, step 1024,
+reference workload zaf.py:94-141):
+
+  native      — jnp.fft on the TPU FFT unit (the round-1 default)
+  direct      — DFT-as-GEMM (ZAFTPU_FFT=matmul, n<=4096 direct mode):
+                (T, 2048) @ (2048, 1025) cos/sin matmuls, Precision.HIGHEST
+  direct_high — same GEMMs at Precision.HIGH (3-pass vs 6-pass bf16 decomp)
+  foursteps   — the four-step engine forced (ZAFTPU_FFT_DIRECT_MAX=0)
+
+Each arm runs in a worker subprocess (env is baked at trace time).
+Prints ONE JSON line; the winner feeds the default-dispatch decision.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+WORKER = "ZAFTPU_ENGINE_AB_WORKER"
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def worker():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import zaftpu
+    from zaftpu.core.frame import stft_padding
+    from zaftpu.core.windows import hamming
+    from zaftpu.utils.profiling import fetch_sync
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"ok": False, "reason": "not on TPU"}))
+        return 1
+    sr, wl, step, secs = 44100, 2048, 1024, 600
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(sr * secs).astype(np.float32))
+    win = hamming(wl).astype(np.float32)
+    frames = stft_padding(sr * secs, wl, step)[2]
+
+    t_c0 = time.perf_counter()
+    spec = zaftpu.stft(x, win, step)
+    fetch_sync(spec)
+    compile_s = time.perf_counter() - t_c0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        spec = zaftpu.stft(x, win, step)
+    fetch_sync(spec)
+    stft_s = (time.perf_counter() - t0) / 3
+
+    rec = zaftpu.istft(spec, win, step)
+    fetch_sync(rec)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rec = zaftpu.istft(spec, win, step)
+    fetch_sync(rec)
+    istft_s = (time.perf_counter() - t0) / 3
+
+    # Accuracy guard: round-trip SNR vs the (COLA, 50%-overlap) input,
+    # aligned from sample 0 exactly as bench.py's gate.
+    rec_h = np.asarray(rec).astype(np.float64)
+    ref = np.asarray(x).astype(np.float64)[: len(rec_h)]
+    snr = 10 * np.log10(float((ref**2).sum())
+                        / float(((rec_h - ref) ** 2).sum()))
+
+    print(json.dumps({
+        "ok": True,
+        "fft": os.environ.get("ZAFTPU_FFT", "native"),
+        "precision": os.environ.get("ZAFTPU_PRECISION", "highest"),
+        "compile_s": round(compile_s, 2),
+        "stft_frames_per_s": round(frames / stft_s, 1),
+        "istft_frames_per_s": round(frames / istft_s, 1),
+        "round_trip_snr_db": round(snr, 1),
+    }))
+    return 0
+
+
+ARMS = (
+    ("native", {}),
+    ("direct", {"ZAFTPU_FFT": "matmul"}),
+    ("direct_high", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PRECISION": "high"}),
+    ("foursteps", {"ZAFTPU_FFT": "matmul", "ZAFTPU_FFT_DIRECT_MAX": "0"}),
+)
+
+
+def main():
+    if os.environ.get(WORKER) == "1":
+        return worker()
+    results = {}
+    for label, extra in ARMS:
+        env = dict(os.environ, **extra)
+        env[WORKER] = "1"
+        log(f"--- engine arm: {label} ({extra})")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=600, capture_output=True, text=True)
+            log(proc.stderr[-2000:])
+            results[label] = (json.loads(proc.stdout.strip().splitlines()[-1])
+                              if proc.returncode == 0 and proc.stdout.strip()
+                              else {"ok": False, "rc": proc.returncode})
+        except subprocess.TimeoutExpired:
+            results[label] = {"ok": False, "reason": "timeout"}
+        log(f"{label}: {results[label]}")
+    # The stage is useful as long as the native baseline plus at least one
+    # engine arm landed; a wedge mid-sweep reruns next session.
+    print(json.dumps({"ok": all(r.get("ok") for r in results.values()),
+                      "arms": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

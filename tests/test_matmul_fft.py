@@ -94,6 +94,84 @@ def test_engine_switch_mdct(monkeypatch):
     assert snr > 80
 
 
+class TestDirectDft:
+    """Direct DFT-as-GEMM mode: full-width MXU matmuls for small N (the
+    STFT/ISTFT hot-path formulation — contraction dim N instead of the
+    four-step's sqrt(N))."""
+
+    @pytest.mark.parametrize("n", [96, 441, 2048])  # non-pow2 allowed
+    def test_rfft_matches_numpy_f64(self, n):
+        from zaftpu.core.fft import direct_rfft
+
+        x = RNG.standard_normal((4, n))
+        got = np.asarray(direct_rfft(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.rfft(x, axis=-1),
+                                   rtol=1e-10, atol=1e-10 * n)
+
+    def test_rfft_f32_snr(self):
+        from zaftpu.core.fft import direct_rfft
+
+        x = RNG.standard_normal((8, 2048)).astype(np.float32)
+        got = np.asarray(direct_rfft(jnp.asarray(x)))
+        assert got.dtype == np.complex64
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        err = np.abs(got - ref)
+        snr = 10 * np.log10(float((np.abs(ref) ** 2).sum())
+                            / float((err ** 2).sum()))
+        assert snr > 110.0, snr
+
+    def test_real_ifft_non_hermitian(self):
+        """Direct inverse keeps the reference's real(ifft(Z)) semantics for
+        arbitrary (masked, non-Hermitian) spectra — zaf.py:223."""
+        from zaftpu.core.fft import direct_real_ifft
+
+        z = (RNG.standard_normal((3, 512))
+             + 1j * RNG.standard_normal((3, 512)))
+        z[:, 100:200] = 0.0  # a masked band, deliberately asymmetric
+        got = np.asarray(direct_real_ifft(jnp.asarray(z)))
+        ref = np.real(np.fft.ifft(z, axis=-1))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+    def test_engine_routes_small_n_direct(self, monkeypatch):
+        """Under ZAFTPU_FFT=matmul, rfft/real_ifft of n <= DIRECT_MAX use
+        the direct GEMMs; DIRECT_MAX=0 falls back to four-step."""
+        from zaftpu.core import fft as fft_mod
+
+        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+        x = RNG.standard_normal((2, 1024))
+        got = np.asarray(fft_mod.rfft(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.rfft(x, axis=-1),
+                                   rtol=1e-10, atol=1e-10 * 1024)
+        z = RNG.standard_normal((2, 1024)) + 1j * RNG.standard_normal((2, 1024))
+        got_i = np.asarray(fft_mod.real_ifft(jnp.asarray(z)))
+        np.testing.assert_allclose(got_i, np.real(np.fft.ifft(z, axis=-1)),
+                                   rtol=1e-10, atol=1e-12)
+        monkeypatch.setenv("ZAFTPU_FFT_DIRECT_MAX", "0")
+        got2 = np.asarray(fft_mod.rfft(jnp.asarray(x)))
+        np.testing.assert_allclose(got2, np.fft.rfft(x, axis=-1),
+                                   rtol=1e-10, atol=1e-10 * 1024)
+
+    def test_stft_istft_round_trip_direct(self, monkeypatch):
+        """Whole STFT->ISTFT round trip on the direct-GEMM engine."""
+        import zaftpu
+        from zaftpu.core.windows import hamming
+
+        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+        sig = RNG.standard_normal(12288).astype(np.float32)
+        win = hamming(1024).astype(np.float32)
+        spec = np.asarray(zaftpu.stft(sig, win, 512))
+        rec = np.asarray(zaftpu.istft(spec, win, 512))
+        monkeypatch.delenv("ZAFTPU_FFT")
+        ref_spec = np.asarray(zaftpu.stft(sig.astype(np.float64),
+                                          win.astype(np.float64), 512))
+        np.testing.assert_allclose(spec, ref_spec, atol=2e-4)
+        ref_rec = np.asarray(zaftpu.istft(ref_spec,
+                                          win.astype(np.float64), 512))
+        err = rec.astype(np.float64) - ref_rec
+        snr = 10 * np.log10((ref_rec ** 2).sum() / (err ** 2).sum())
+        assert snr > 100.0, snr
+
+
 class TestPackedRfft:
     """Row-packed batched rfft: pairs of real rows ride one complex FFT."""
 

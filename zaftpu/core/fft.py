@@ -27,11 +27,35 @@ def _use_matmul_engine(n: int) -> bool:
             and n >= 4 and (n & (n - 1)) == 0)
 
 
+def _direct_max() -> int:
+    """Largest FFT length the matmul engine computes as a *direct* DFT GEMM.
+
+    Below this size the engine skips the four-step decomposition and runs
+    the DFT as one full-width matmul per (real, imag) component: the
+    contraction dimension is then N (e.g. 2048 for the reference STFT
+    window) instead of the four-step's sqrt(N) (32/64), which keeps the
+    128x128 MXU systolic array full. ~N/(5 log2 N) more FLOPs than an FFT,
+    but on TPU the direct GEMM is bandwidth- not FLOP-bound at these sizes.
+    ``ZAFTPU_FFT_DIRECT_MAX`` overrides (0 disables, forcing pure
+    four-step — the benchmark A/B lever)."""
+    return int(os.environ.get("ZAFTPU_FFT_DIRECT_MAX", "4096"))
+
+
+def _use_direct_engine(n: int, dtype) -> bool:
+    # Direct DFT GEMMs have no power-of-two restriction (any n works),
+    # unlike the four-step path.
+    return (os.environ.get("ZAFTPU_FFT") == "matmul"
+            and 2 <= n <= _direct_max()
+            and not jnp.issubdtype(dtype, jnp.complexfloating))
+
+
 def rfft(frames: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Real FFT along the last axis: ``(..., N)`` -> ``(..., N//2 + 1)``."""
     if n is not None and n != frames.shape[-1]:
         frames = _pad_or_trim(frames, n)
     length = frames.shape[-1]
+    if _use_direct_engine(length, frames.dtype):
+        return direct_rfft(frames)
     if _use_matmul_engine(length):
         return matmul_rfft(frames)
     return jnp.fft.rfft(frames, axis=-1)
@@ -217,6 +241,75 @@ def matmul_ifft(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.conj(matmul_fft(jnp.conj(x))) / n
 
 
+@lru_cache(maxsize=8)
+def _direct_rdft_mats(n: int, rdtype_name: str):
+    """Host-precomputed ``(N, N/2+1)`` cos/sin DFT matrices (float64 math,
+    cast to the target real dtype)."""
+    k = np.arange(n // 2 + 1)
+    ang = (-2.0 * np.pi / n) * ((np.arange(n)[:, None] * k[None, :]) % n)
+    return (np.cos(ang).astype(rdtype_name), np.sin(ang).astype(rdtype_name))
+
+
+@lru_cache(maxsize=8)
+def _direct_ridft_mats(n: int, rdtype_name: str):
+    """Host-precomputed ``(N, N)`` inverse-DFT cos/sin matrices, 1/N folded
+    in (float64 math, cast to the target real dtype)."""
+    t = np.arange(n)
+    ang = (2.0 * np.pi / n) * ((t[:, None] * t[None, :]) % n)
+    return ((np.cos(ang) / n).astype(rdtype_name),
+            (np.sin(ang) / n).astype(rdtype_name))
+
+
+def direct_rfft(x: jnp.ndarray) -> jnp.ndarray:
+    """Real FFT of small frames as two full-width MXU GEMMs.
+
+    ``X = x @ C + i * (x @ S)`` with ``C/S`` the ``(N, N/2+1)`` cos/sin DFT
+    matrices — the speed-of-light formulation for the STFT analysis hot path
+    (reference zaf.py:94-141) on TPU: one tall ``(T, N) @ (N, N/2+1)`` GEMM
+    pair with contraction dimension N keeps the systolic array full, where
+    the native FFT op runs at ~4% of HBM peak (docs/tpu_results/mfu.json).
+    Constants ship as real embedded arrays (complex constants cannot cross
+    the axon tunnel). Exact-path precision comes from the policy dial
+    (HIGHEST default; see :func:`zaftpu.core.policy.matmul_precision`).
+    """
+    import jax
+
+    from zaftpu.core.policy import matmul_precision
+
+    n = x.shape[-1]
+    rdtype = jnp.result_type(x, jnp.float32)
+    cos_m, sin_m = _direct_rdft_mats(n, np.dtype(rdtype).name)
+    hi = matmul_precision()
+    xr = x.astype(rdtype)
+    return jax.lax.complex(
+        jnp.matmul(xr, jnp.asarray(cos_m), preferred_element_type=rdtype,
+                   precision=hi),
+        jnp.matmul(xr, jnp.asarray(sin_m), preferred_element_type=rdtype,
+                   precision=hi))
+
+
+def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
+    """``real(ifft(Z))`` of small spectra as two full-width MXU GEMMs.
+
+    ``real(IFFT(Z))[t] = (1/N) sum_k [Re(Z)_k cos(2pi kt/N)
+    - Im(Z)_k sin(2pi kt/N)]`` for *arbitrary* (possibly non-Hermitian)
+    complex input — the same semantics as :func:`real_ifft`'s full complex
+    inverse, so masked spectra behave identically. This is the ISTFT/IMDCT
+    synthesis hot path (reference zaf.py:222-233) as a
+    ``(T, N) @ (N, N)`` GEMM pair.
+    """
+    from zaftpu.core.policy import matmul_precision
+
+    n = z.shape[-1]
+    rdtype = jnp.result_type(jnp.real(z), jnp.float32)
+    cos_m, sin_m = _direct_ridft_mats(n, np.dtype(rdtype).name)
+    hi = matmul_precision()
+    return (jnp.matmul(jnp.real(z), jnp.asarray(cos_m),
+                       preferred_element_type=rdtype, precision=hi)
+            - jnp.matmul(jnp.imag(z), jnp.asarray(sin_m),
+                         preferred_element_type=rdtype, precision=hi))
+
+
 def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:
     """``real(ifft(X))`` along the last axis (reference zaf.py:223).
 
@@ -225,4 +318,7 @@ def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:
     masked — spectra and defines the output as the real part of the complex
     inverse; ``irfft`` would silently assume symmetry and change semantics.
     """
+    n = spectra.shape[-1]
+    if (os.environ.get("ZAFTPU_FFT") == "matmul" and 2 <= n <= _direct_max()):
+        return direct_real_ifft(spectra)
     return jnp.real(ifft(spectra))

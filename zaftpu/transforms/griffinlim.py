@@ -38,7 +38,7 @@ def _griffin_lim_core(magnitude_tf, window_function, step_length,
 
     def synthesize(spec_half):
         full = _fft.full_from_half(spec_half, wl)
-        frames = jnp.real(_fft.ifft(full)) * win
+        frames = _fft.real_ifft(full) * win
         return _frame.overlap_add(frames, step_length) / wsq
 
     def analyze(signal):
