@@ -72,6 +72,31 @@ def worker():
     snr = 10 * np.log10(float((ref**2).sum())
                         / float(((rec_h - ref) ** 2).sum()))
 
+    # MDCT/IMDCT on the same engine arm (direct mode folds the whole
+    # pre/FFT/post chain into one (WL, WL/2) GEMM).
+    from zaftpu.core.windows import vorbis
+
+    tdac = vorbis(wl).astype(np.float32)
+    t_mdct = int(np.ceil(sr * secs / step)) + 1
+    out = zaftpu.mdct(x, tdac)
+    fetch_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = zaftpu.mdct(x, tdac)
+    fetch_sync(out)
+    mdct_s = (time.perf_counter() - t0) / 3
+    rec2 = zaftpu.imdct(out, tdac)
+    fetch_sync(rec2)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rec2 = zaftpu.imdct(out, tdac)
+    fetch_sync(rec2)
+    imdct_s = (time.perf_counter() - t0) / 3
+    rec2_h = np.asarray(rec2).astype(np.float64)
+    n2 = min(len(rec2_h), len(ref))
+    snr2 = 10 * np.log10(float((ref[:n2] ** 2).sum())
+                         / float(((rec2_h[:n2] - ref[:n2]) ** 2).sum()))
+
     print(json.dumps({
         "ok": True,
         "fft": os.environ.get("ZAFTPU_FFT", "native"),
@@ -80,6 +105,9 @@ def worker():
         "stft_frames_per_s": round(frames / stft_s, 1),
         "istft_frames_per_s": round(frames / istft_s, 1),
         "round_trip_snr_db": round(snr, 1),
+        "mdct_frames_per_s": round(t_mdct / mdct_s, 1),
+        "imdct_frames_per_s": round(t_mdct / imdct_s, 1),
+        "mdct_round_trip_snr_db": round(snr2, 1),
     }))
     return 0
 

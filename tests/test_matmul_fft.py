@@ -151,6 +151,37 @@ class TestDirectDft:
         np.testing.assert_allclose(got2, np.fft.rfft(x, axis=-1),
                                    rtol=1e-10, atol=1e-10 * 1024)
 
+    def test_mdct_direct_matches_native_f64(self, monkeypatch):
+        """The folded (WL, WL/2) forward / (F, 2F) inverse MDCT matrices
+        reproduce the native pre/FFT/post chain to f64 rounding."""
+        import zaftpu
+        from zaftpu.core.windows import vorbis
+
+        sig = RNG.standard_normal(9000)
+        win = vorbis(1024)
+        ref_out = np.asarray(zaftpu.mdct(sig, win))
+        ref_rec = np.asarray(zaftpu.imdct(ref_out, win))
+        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+        out = np.asarray(zaftpu.mdct(sig, win))
+        rec = np.asarray(zaftpu.imdct(out, win))
+        np.testing.assert_allclose(out, ref_out, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(rec, ref_rec, rtol=1e-9, atol=1e-10)
+
+    def test_mdct_direct_non_pow2_kbd(self, monkeypatch):
+        """The direct mode covers the reference's KBD example window
+        (length WL-2 = 2046 — not a power of two, so the four-step engine
+        never applied; zaf.py:1004-1010)."""
+        import zaftpu
+        from zaftpu.core.windows import kbd
+
+        sig = RNG.standard_normal(20000)
+        win = kbd(2048)  # the reference construction yields WL-2 = 2046
+        assert win.shape[0] == 2046
+        ref_out = np.asarray(zaftpu.mdct(sig, win))
+        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+        out = np.asarray(zaftpu.mdct(sig, win))
+        np.testing.assert_allclose(out, ref_out, rtol=1e-10, atol=1e-10)
+
     def test_stft_istft_round_trip_direct(self, monkeypatch):
         """Whole STFT->ISTFT round trip on the direct-GEMM engine."""
         import zaftpu

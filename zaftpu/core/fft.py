@@ -41,11 +41,17 @@ def _direct_max() -> int:
     return int(os.environ.get("ZAFTPU_FFT_DIRECT_MAX", "4096"))
 
 
-def _use_direct_engine(n: int, dtype) -> bool:
-    # Direct DFT GEMMs have no power-of-two restriction (any n works),
-    # unlike the four-step path.
+def direct_engine_enabled(n: int) -> bool:
+    """True when the matmul engine's direct-GEMM mode covers length ``n``
+    (no power-of-two restriction, unlike the four-step path). Transforms
+    whose per-frame chain folds into a single real operator matrix (MDCT's
+    pre/FFT/post/Re composition) gate their fused path on this."""
     return (os.environ.get("ZAFTPU_FFT") == "matmul"
-            and 2 <= n <= _direct_max()
+            and 2 <= n <= _direct_max())
+
+
+def _use_direct_engine(n: int, dtype) -> bool:
+    return (direct_engine_enabled(n)
             and not jnp.issubdtype(dtype, jnp.complexfloating))
 
 

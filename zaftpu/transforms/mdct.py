@@ -48,6 +48,74 @@ def _inverse_twiddles(number_frequencies: int):
     return pre, post
 
 
+@lru_cache(maxsize=16)
+def _direct_forward_matrix(window_length: int):
+    """The whole per-frame forward MDCT as one real ``(WL, WL/2)`` matrix.
+
+    ``coeffs[k] = Re(post[k] * FFT(frames_w * pre)[k])`` is linear in the
+    windowed frame, so the pre-twiddle, FFT, post-twiddle and real part fold
+    into ``M[t, k] = Re(pre[t] * post[k] * exp(-2pi i tk/WL))`` — the MDCT
+    becomes a single ``(T, WL) @ (WL, WL/2)`` MXU GEMM (the matmul engine's
+    direct mode; reference chain zaf.py:1047-1071). float64 host math.
+    """
+    wl = window_length
+    f = wl // 2
+    pre, post = _forward_twiddles(wl)
+    tk = (np.arange(wl)[:, None] * np.arange(f)[None, :]) % wl
+    ang = np.exp((-2j * np.pi / wl) * tk)
+    return np.real(pre[:, None] * ang * post[None, :])
+
+
+@lru_cache(maxsize=16)
+def _direct_inverse_matrix(number_frequencies: int):
+    """The per-frame inverse MDCT (before windowing) as one real
+    ``(F, 2F)`` matrix: ``frames[t] = 2*Re(post[t] * FFT_pad(coeffs *
+    pre)[t])`` folds to ``M[k, t] = 2*Re(pre[k] * post[t] *
+    exp(-2pi i kt/(2F)))`` (reference chain zaf.py:1138-1170)."""
+    f = number_frequencies
+    pre, post = _inverse_twiddles(f)
+    kt = (np.arange(f)[:, None] * np.arange(2 * f)[None, :]) % (2 * f)
+    ang = np.exp((-2j * np.pi / (2 * f)) * kt)
+    return 2.0 * np.real(pre[:, None] * ang * post[None, :])
+
+
+@jax.jit
+def _mdct_direct_core(audio_signal: jnp.ndarray,
+                      window_function: jnp.ndarray,
+                      matrix: jnp.ndarray) -> jnp.ndarray:
+    from zaftpu import pallas as _pallas
+    from zaftpu.core.policy import matmul_precision
+
+    wl = window_function.shape[0]
+    step = wl // 2
+    n = audio_signal.shape[-1]
+    t = int(np.ceil(n / step)) + 1
+    padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
+                     + [(step, (t + 1) * step - n)])
+    frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
+    coeffs = jnp.matmul(frames, matrix.astype(frames.dtype),
+                        preferred_element_type=frames.dtype,
+                        precision=matmul_precision())
+    return jnp.swapaxes(coeffs, -1, -2)
+
+
+@jax.jit
+def _imdct_direct_core(audio_mdct: jnp.ndarray,
+                       window_function: jnp.ndarray,
+                       matrix: jnp.ndarray) -> jnp.ndarray:
+    from zaftpu import pallas as _pallas
+    from zaftpu.core.policy import matmul_precision
+
+    f = audio_mdct.shape[-2]
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
+    frames = jnp.matmul(coeffs, matrix.astype(coeffs.dtype),
+                        preferred_element_type=coeffs.dtype,
+                        precision=matmul_precision())
+    frames = frames * window_function.astype(frames.dtype)
+    signal = _pallas.overlap_add(frames, f)
+    return signal[..., f:signal.shape[-1] - f - 1]
+
+
 @jax.jit
 def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
                pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +154,13 @@ def mdct(audio_signal, window_function):
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     window_function = as_device_constant(
         _validate.check_window(window_function, even=True))
-    pre, post = _forward_twiddles(window_function.shape[0])
+    wl = window_function.shape[0]
+    if _fft.direct_engine_enabled(wl):
+        rdtype = np.float32 if audio_signal.dtype == jnp.float32 else np.float64
+        return _mdct_direct_core(
+            audio_signal, window_function,
+            device_constant(_direct_forward_matrix(wl), rdtype))
+    pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     return _mdct_core(audio_signal, window_function,
                       device_constant(pre, ctype),
@@ -138,7 +212,13 @@ def imdct(audio_mdct, window_function):
         raise ValueError(
             f"window length must be 2*number_frequencies = "
             f"{2 * audio_mdct.shape[-2]}, got {wlen}")
-    pre, post = _inverse_twiddles(audio_mdct.shape[-2])
+    f = audio_mdct.shape[-2]
+    if _fft.direct_engine_enabled(2 * f):
+        rdtype = np.float32 if audio_mdct.dtype == jnp.float32 else np.float64
+        return _imdct_direct_core(
+            audio_mdct, as_device_constant(window_function),
+            device_constant(_direct_inverse_matrix(f), rdtype))
+    pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     return _imdct_core(audio_mdct, as_device_constant(window_function),
                        device_constant(pre, ctype),
