@@ -68,9 +68,10 @@ def worker():
     # Accuracy guard: round-trip SNR vs the (COLA, 50%-overlap) input,
     # aligned from sample 0 exactly as bench.py's gate.
     rec_h = np.asarray(rec).astype(np.float64)
-    ref = np.asarray(x).astype(np.float64)[: len(rec_h)]
-    snr = 10 * np.log10(float((ref**2).sum())
-                        / float(((rec_h - ref) ** 2).sum()))
+    ref = np.asarray(x).astype(np.float64)
+    n1 = min(len(rec_h), len(ref))
+    snr = 10 * np.log10(float((ref[:n1] ** 2).sum())
+                        / float(((rec_h[:n1] - ref[:n1]) ** 2).sum()))
 
     # MDCT/IMDCT on the same engine arm (direct mode folds the whole
     # pre/FFT/post chain into one (WL, WL/2) GEMM).

@@ -223,3 +223,20 @@ def test_cqt_tp_f64(signal, mesh):
     out = np.asarray(cqtspectrogram_tp(signal, 44100, 25, kern, mesh))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch):
+    """Under ZAFTPU_FFT=matmul the sharded MDCT/IMDCT must dispatch to the
+    same folded (WL, WL/2)/(F, 2F) GEMM operators as the single-device
+    direct path and stay value-identical to it (zaf.py:984-1075 chain)."""
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    win = vorbis(WL)
+    ref = np.asarray(zaftpu.mdct(signal, win))
+    out = np.asarray(mdct_sharded(signal, win, mesh))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-13)
+    rec_ref = np.asarray(zaftpu.imdct(ref, win))
+    rec = np.asarray(imdct_sharded(ref, win, mesh))
+    assert rec.shape == rec_ref.shape
+    np.testing.assert_allclose(rec, rec_ref, atol=1e-13)
+    assert snr_db(signal, rec) > 250.0

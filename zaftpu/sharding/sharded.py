@@ -39,7 +39,9 @@ from zaftpu.sharding import halo as _halo
 from zaftpu.sharding.mesh import BATCH_AXIS, FRAME_AXIS
 from zaftpu.core import policy as _policy
 from zaftpu.transforms import cqt as _cqt
-from zaftpu.transforms.mdct import _forward_twiddles, _inverse_twiddles
+from zaftpu.transforms.mdct import (_direct_forward_matrix,
+                                    _direct_inverse_matrix,
+                                    _forward_twiddles, _inverse_twiddles)
 
 
 def _batch_spec(mesh, n_batch_dims: int):
@@ -366,6 +368,28 @@ def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
     return jnp.swapaxes(coeffs, -1, -2)
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads"))
+def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
+                              axis_name, pads):
+    """Direct-GEMM sharded MDCT: same folded (WL, WL/2) operator as the
+    single-device path, so the value-identity contract holds under
+    ``ZAFTPU_FFT=matmul`` too."""
+    pad_front, body_len, _ = pads
+    wl = window_function.shape[0]
+    step = wl // 2
+    n = audio_signal.shape[-1]
+    body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
+
+    def frame_fn(frames):
+        frames = frames * window_function.astype(frames.dtype)
+        return jnp.matmul(frames, matrix.astype(frames.dtype),
+                          preferred_element_type=frames.dtype,
+                          precision=_policy.matmul_precision())
+
+    coeffs = _sharded_analysis(body, wl, step, frame_fn, mesh, axis_name)
+    return jnp.swapaxes(coeffs, -1, -2)
+
+
 def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
                        axis_name, pads):
     pad_front, body_len, _ = pads
@@ -394,11 +418,19 @@ def mdct_sharded(audio_signal, window_function, mesh,
     n = audio_signal.shape[-1]
     t = int(np.ceil(n / step)) + 1
     t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
-    pre, post = _forward_twiddles(wl)
-    ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_signal = _prepad_tail(audio_signal, body_len - step)
+    if _fft.direct_engine_enabled(wl):
+        rdtype = (np.float32 if audio_signal.dtype == jnp.float32
+                  else np.float64)
+        out = _mdct_full_sharded_direct(
+            audio_signal, as_device_constant(window_function),
+            device_constant(_direct_forward_matrix(wl), rdtype),
+            mesh, axis_name, (step, body_len, t_pad))
+        return out[..., :t]
+    pre, post = _forward_twiddles(wl)
+    ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     out = _mdct_full_sharded(
         audio_signal, as_device_constant(window_function),
         device_constant(pre, ctype), device_constant(post, ctype),
@@ -421,6 +453,22 @@ def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
     return body[..., f:]
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def _imdct_core_sharded_direct(audio_mdct, window_function, matrix, mesh,
+                               axis_name):
+    """Direct-GEMM sharded inverse MDCT: the (F, 2F) folded operator of the
+    single-device path (pre/FFT/post/2*Re fused), so values stay identical
+    under ``ZAFTPU_FFT=matmul``."""
+    f = audio_mdct.shape[-2]
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    frames = jnp.matmul(coeffs, matrix.astype(coeffs.dtype),
+                        preferred_element_type=coeffs.dtype,
+                        precision=_policy.matmul_precision())
+    frames = frames * window_function.astype(frames.dtype)
+    body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
+    return body[..., f:]
+
+
 def imdct_sharded(audio_mdct, window_function, mesh,
                   axis_name: str = FRAME_AXIS):
     """Frame-block-sharded inverse MDCT with TDAC boundary-sum exchange;
@@ -429,13 +477,21 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
     n_shards = mesh.shape[axis_name]
     t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
-    pre, post = _inverse_twiddles(f)
-    ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
     padded = jnp.pad(
         audio_mdct,
         [(0, 0)] * (audio_mdct.ndim - 2) + [(0, 0), (0, t_pad - t)])
+    if _fft.direct_engine_enabled(2 * f):
+        rdtype = (np.float32 if audio_mdct.dtype == jnp.float32
+                  else np.float64)
+        out = _imdct_core_sharded_direct(
+            padded, as_device_constant(window_function),
+            device_constant(_direct_inverse_matrix(f), rdtype),
+            mesh, axis_name)
+        return out[..., :f * t - f - 1]
+    pre, post = _inverse_twiddles(f)
+    ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     out = _imdct_core_sharded(
         padded, as_device_constant(window_function),
         device_constant(pre, ctype), device_constant(post, ctype),
