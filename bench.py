@@ -325,10 +325,12 @@ def _supervise():
     baseline is also a CPU measurement) only when no TPU rung succeeds."""
     budget = int(os.environ.get("BENCH_TIMEOUT", "420"))
     ladder = [
+        # Default dispatch first: ZAFTPU_FFT=auto selects the matmul engine
+        # on TPU (docs/tpu_results/stft_engines.json), Pallas framing on.
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
-        ("TPU (matmul FFT engine)",
-         {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul"}, budget),
+        ("TPU (native FFT)",
+         {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "native"}, budget),
         ("TPU (matmul FFT, 3-pass)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul",
           "ZAFTPU_PRECISION": "high"}, budget),

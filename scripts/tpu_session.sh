@@ -4,6 +4,9 @@
 # docs/tpu_results/ to force a stage to rerun next session.
 cd /root/repo || exit 1
 export PYTHONPATH=/root/repo:/root/.axon_site
+# Persistent XLA compile cache for every stage (bench.py sets it in-process;
+# stage workers pick it up from the env where the backend honors it).
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 RES=docs/tpu_results
 mkdir -p "$RES"
 

@@ -100,7 +100,8 @@ def worker():
 
     print(json.dumps({
         "ok": True,
-        "fft": os.environ.get("ZAFTPU_FFT", "native"),
+        "fft": os.environ.get("ZAFTPU_FFT", "auto"),
+        "pallas": os.environ.get("ZAFTPU_PALLAS", "auto"),
         "precision": os.environ.get("ZAFTPU_PRECISION", "highest"),
         "compile_s": round(compile_s, 2),
         "stft_frames_per_s": round(frames / stft_s, 1),
@@ -114,10 +115,16 @@ def worker():
 
 
 ARMS = (
-    ("native", {}),
-    ("direct", {"ZAFTPU_FFT": "matmul"}),
-    ("direct_high", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PRECISION": "high"}),
-    ("foursteps", {"ZAFTPU_FFT": "matmul", "ZAFTPU_FFT_DIRECT_MAX": "0"}),
+    ("native", {"ZAFTPU_FFT": "native"}),
+    ("direct", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0"}),
+    ("direct_high", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0",
+                     "ZAFTPU_PRECISION": "high"}),
+    ("foursteps", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0",
+                   "ZAFTPU_FFT_DIRECT_MAX": "0"}),
+    # Default dispatch: ZAFTPU_FFT=auto -> direct GEMMs on TPU, Pallas on.
+    ("auto_default", {}),
+    # Opt-in fused framing+window+DFT Pallas kernel (frames never in HBM).
+    ("fused", {"ZAFTPU_FUSED": "1"}),
 )
 
 

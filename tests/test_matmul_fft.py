@@ -238,3 +238,22 @@ class TestPackedRfft:
         got = np.asarray(matmul_rfft(jnp.asarray(x)))
         np.testing.assert_allclose(got, np.fft.rfft(x),
                                    rtol=1e-10, atol=1e-10)
+
+
+class TestAutoMode:
+    def test_auto_selects_engine_by_backend(self, monkeypatch):
+        """ZAFTPU_FFT default (auto) = matmul engine on TPU, native FFT on
+        CPU; explicit matmul/native override either way."""
+        import jax
+
+        from zaftpu.core import fft as fft_mod
+
+        monkeypatch.delenv("ZAFTPU_FFT", raising=False)
+        assert fft_mod.engine_selected() is False  # CPU test env
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert fft_mod.engine_selected() is True
+        monkeypatch.setenv("ZAFTPU_FFT", "native")
+        assert fft_mod.engine_selected() is False
+        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert fft_mod.engine_selected() is True

@@ -126,3 +126,51 @@ def test_guarded_does_not_mask_user_errors():
     with _pytest.raises(ValueError, match="step_length"):
         zaftpu.stft(np.zeros(1024, np.float32), hamming(256), 512)
     assert not zpallas._broken
+
+
+@pytest.mark.parametrize("wl,step,t", [(2048, 1024, 37), (2048, 1024, 300),
+                                       (512, 256, 150), (1024, 128, 40)])
+def test_fused_frames_rfft_matches_split(wl, step, t):
+    """The fused framing+window+DFT-GEMM kernel must match the split
+    framing-then-rfft path (frames never touch HBM in the fused one)."""
+    from zaftpu.pallas import fused as pfused
+
+    rng = np.random.default_rng(2)
+    padded = rng.standard_normal(t * step + wl - step).astype(np.float32)
+    win = hamming(wl).astype(np.float32)
+
+    frames = np.asarray(pframing.frame_window(
+        jnp.asarray(padded), jnp.asarray(win), wl, step, t, interpret=True))
+    ref = np.fft.rfft(frames.astype(np.float64), axis=-1)
+    out = np.asarray(pfused.frames_rfft(
+        jnp.asarray(padded), jnp.asarray(win), wl, step, t, interpret=True))
+    assert out.shape == (t, wl // 2 + 1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out.real, ref.real, atol=2e-6 * scale)
+    np.testing.assert_allclose(out.imag, ref.imag, atol=2e-6 * scale)
+
+
+def test_fused_stft_dispatch_matches_xla(monkeypatch):
+    """Full stft() through the fused-kernel dispatch (engine + Pallas on)
+    equals the default XLA program. CPU runs the kernel in interpret mode
+    via a shim; on TPU the same dispatch hits real Mosaic."""
+    import functools
+
+    import zaftpu
+    from zaftpu.pallas import fused as pfused
+
+    monkeypatch.setattr(
+        pfused, "frames_rfft",
+        functools.partial(pfused.frames_rfft, interpret=True))
+    rng = np.random.default_rng(3)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    win = hamming(2048).astype(np.float32)
+    ref = np.asarray(zaftpu.stft(sig, win, 1024))
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setenv("ZAFTPU_FUSED", "1")
+    out = np.asarray(zaftpu.stft(sig, win, 1024))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out.real, ref.real, atol=3e-6 * scale)
+    np.testing.assert_allclose(out.imag, ref.imag, atol=3e-6 * scale)

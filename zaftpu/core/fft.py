@@ -19,12 +19,32 @@ import os
 import jax.numpy as jnp
 
 
+def engine_selected() -> bool:
+    """Is the MXU matmul-FFT engine the active FFT implementation?
+
+    ``ZAFTPU_FFT`` modes:
+      - ``auto`` (default): engine on TPU, native ``jnp.fft`` elsewhere.
+        On TPU the DFT-as-GEMM formulations run on the systolic array,
+        measured faster than XLA's FFT op on the STFT/MDCT hot paths
+        (docs/tpu_results/stft_engines.json) and with second-scale compiles
+        at large N (XLA's 32k FFT takes ~276 s to compile on v5e); on CPU
+        the native FFT is both faster and the f64 parity oracle.
+      - ``matmul``: engine everywhere (A/B lever, CPU engine tests).
+      - ``native``: ``jnp.fft`` everywhere (A/B lever).
+    """
+    mode = os.environ.get("ZAFTPU_FFT", "auto")
+    if mode == "matmul":
+        return True
+    if mode == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return False
+
+
 def _use_matmul_engine(n: int) -> bool:
-    """``ZAFTPU_FFT=matmul`` routes power-of-two FFTs through the four-step
-    MXU engine — a workaround for backends where the native FFT op is slow to
-    compile or unavailable, and an A/B lever for benchmarking."""
-    return (os.environ.get("ZAFTPU_FFT") == "matmul"
-            and n >= 4 and (n & (n - 1)) == 0)
+    """Route this power-of-two FFT through the four-step MXU engine?"""
+    return engine_selected() and n >= 4 and (n & (n - 1)) == 0
 
 
 def _direct_max() -> int:
@@ -46,8 +66,7 @@ def direct_engine_enabled(n: int) -> bool:
     (no power-of-two restriction, unlike the four-step path). Transforms
     whose per-frame chain folds into a single real operator matrix (MDCT's
     pre/FFT/post/Re composition) gate their fused path on this."""
-    return (os.environ.get("ZAFTPU_FFT") == "matmul"
-            and 2 <= n <= _direct_max())
+    return engine_selected() and 2 <= n <= _direct_max()
 
 
 def _use_direct_engine(n: int, dtype) -> bool:
@@ -325,6 +344,6 @@ def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:
     inverse; ``irfft`` would silently assume symmetry and change semantics.
     """
     n = spectra.shape[-1]
-    if (os.environ.get("ZAFTPU_FFT") == "matmul" and 2 <= n <= _direct_max()):
+    if direct_engine_enabled(n):
         return direct_real_ifft(spectra)
     return jnp.real(ifft(spectra))

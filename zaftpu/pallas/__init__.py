@@ -90,6 +90,33 @@ def windowed_frames(padded, window, window_length: int, step: int,
     return frames * window.astype(frames.dtype)
 
 
+def windowed_frames_rfft(padded, window, window_length: int, step: int,
+                         number_times: int):
+    """Windowed overlapped frames -> rfft half-spectrum ``(T, WL//2+1)``.
+
+    With ``ZAFTPU_FUSED=1``, when the direct-GEMM engine covers ``WL`` and
+    the shapes are kernel-aligned, this runs the fully fused Pallas kernel
+    (framing + window + DFT GEMM in VMEM — the frame matrix never touches
+    HBM); otherwise the split framing-then-rfft path, which itself follows
+    the engine dispatch. Opt-in until the kernel is proven under the
+    tunnel's remote Mosaic compiler (2026-08-17: tpu_compile_helper 500s on
+    it while the framing/OLA kernels compile fine — and a failed Mosaic
+    compile poisons the process for later fetches, so the guarded fallback
+    cannot fully contain it)."""
+    from zaftpu.core import fft as _fft
+    from zaftpu.pallas import fused as _fused
+
+    if (enabled() and os.environ.get("ZAFTPU_FUSED") == "1"
+            and padded.ndim == 1
+            and _fft.direct_engine_enabled(window_length)
+            and _fused.supported(window_length, step, padded.dtype)):
+        return _fused.frames_rfft(padded, window, window_length, step,
+                                  number_times)
+    frames = windowed_frames(padded, window, window_length, step,
+                             number_times)
+    return _fft.rfft(frames)
+
+
 def overlap_add(frames, step: int):
     """Overlap-add — Pallas one-write-pass kernel when eligible, else the
     XLA K-shifted-view accumulation."""

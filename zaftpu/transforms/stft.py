@@ -47,9 +47,8 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     pad_front, pad_back, t = _frame.stft_padding(n, wl, step_length)
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(pad_front, pad_back)])
-    frames = _pallas.windowed_frames(padded, window_function, wl,
-                                     step_length, t)
-    return _fft.rfft(frames)
+    return _pallas.windowed_frames_rfft(padded, window_function, wl,
+                                        step_length, t)
 
 
 @partial(jax.jit, static_argnames=("step_length",))
