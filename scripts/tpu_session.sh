@@ -52,5 +52,6 @@ run_stage mfu        1200 python scripts/tpu_stages/s4_mfu.py
 run_stage mmfft32k   900  python scripts/tpu_stages/s5_matmulfft32k.py
 run_stage bf16       900  python scripts/tpu_stages/s6_bf16.py
 run_stage cqt_tune   3000 python scripts/tpu_stages/s7_cqt_tune.py
-run_stage stft_engines 2700 python scripts/tpu_stages/s8_stft_engines.py
+run_stage fused_probe 1800 python scripts/tpu_stages/s9_fused_probe.py
+run_stage stft_engines 3600 python scripts/tpu_stages/s8_stft_engines.py
 echo "session complete"

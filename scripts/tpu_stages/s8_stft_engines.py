@@ -147,9 +147,11 @@ def main():
         except subprocess.TimeoutExpired:
             results[label] = {"ok": False, "reason": "timeout"}
         log(f"{label}: {results[label]}")
-    # The stage is useful as long as the native baseline plus at least one
-    # engine arm landed; a wedge mid-sweep reruns next session.
-    print(json.dumps({"ok": all(r.get("ok") for r in results.values()),
+    # The fused arm is informational: the kernel failing under the remote
+    # Mosaic compiler IS a result (tracked by stage s9), and must not force
+    # a rerun of the whole sweep. The engine arms gate ok/rerun.
+    gating = [r for label, r in results.items() if label != "fused"]
+    print(json.dumps({"ok": all(r.get("ok") for r in gating),
                       "arms": results}))
     return 0
 
