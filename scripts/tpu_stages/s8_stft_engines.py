@@ -1,15 +1,11 @@
 """Stage 8: FFT-engine A/B for the STFT hot path at 10-minute scale.
 
 The native TPU FFT runs the hour-scale STFT at ~4% of HBM peak
-(docs/tpu_results/mfu.json) — the MXU sits idle. This stage races four
+(docs/tpu_results/mfu.json) — the MXU sits idle. This stage races the
 formulations of the same 10-min STFT + ISTFT (window 2048, step 1024,
-reference workload zaf.py:94-141):
-
-  native      — jnp.fft on the TPU FFT unit (the round-1 default)
-  direct      — DFT-as-GEMM (ZAFTPU_FFT=matmul, n<=4096 direct mode):
-                (T, 2048) @ (2048, 1025) cos/sin matmuls, Precision.HIGHEST
-  direct_high — same GEMMs at Precision.HIGH (3-pass vs 6-pass bf16 decomp)
-  foursteps   — the four-step engine forced (ZAFTPU_FFT_DIRECT_MAX=0)
+reference workload zaf.py:94-141): see ARMS below — native FFT, direct
+DFT-as-GEMM at both precisions, four-step matmul FFT, the auto default,
+the opt-in fused Pallas kernel, and the strided-conv formulation.
 
 Each arm runs in a worker subprocess (env is baked at trace time).
 Prints ONE JSON line; the winner feeds the default-dispatch decision.
@@ -102,6 +98,9 @@ def worker():
         "ok": True,
         "fft": os.environ.get("ZAFTPU_FFT", "auto"),
         "pallas": os.environ.get("ZAFTPU_PALLAS", "auto"),
+        "stft_mode": os.environ.get("ZAFTPU_STFT",
+                                    "fused" if os.environ.get("ZAFTPU_FUSED")
+                                    else "default"),
         "precision": os.environ.get("ZAFTPU_PRECISION", "highest"),
         "compile_s": round(compile_s, 2),
         "stft_frames_per_s": round(frames / stft_s, 1),
@@ -125,6 +124,9 @@ ARMS = (
     ("auto_default", {}),
     # Opt-in fused framing+window+DFT Pallas kernel (frames never in HBM).
     ("fused", {"ZAFTPU_FUSED": "1"}),
+    # STFT/ISTFT as single strided conv / conv_transpose (XLA-owned fusion
+    # of framing+window+DFT and inverse-DFT+OLA — no Pallas needed).
+    ("conv", {"ZAFTPU_STFT": "conv"}),
 )
 
 
@@ -150,7 +152,8 @@ def main():
     # The fused arm is informational: the kernel failing under the remote
     # Mosaic compiler IS a result (tracked by stage s9), and must not force
     # a rerun of the whole sweep. The engine arms gate ok/rerun.
-    gating = [r for label, r in results.items() if label != "fused"]
+    gating = [r for label, r in results.items()
+              if label not in ("fused", "conv")]
     print(json.dumps({"ok": all(r.get("ok") for r in gating),
                       "arms": results}))
     return 0

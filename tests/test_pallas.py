@@ -174,3 +174,43 @@ def test_fused_stft_dispatch_matches_xla(monkeypatch):
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out.real, ref.real, atol=3e-6 * scale)
     np.testing.assert_allclose(out.imag, ref.imag, atol=3e-6 * scale)
+
+
+def test_conv_stft_istft_matches_default(monkeypatch):
+    """ZAFTPU_STFT=conv: analysis as one strided conv (window folded into
+    the DFT filter), synthesis as one conv_transpose (inverse GEMMs +
+    overlap-add in the filter). Values must match the default program,
+    including non-Hermitian (masked) ISTFT semantics (zaf.py:222-233)."""
+    import jax
+
+    import zaftpu
+
+    rng = np.random.default_rng(7)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    win = hamming(2048).astype(np.float32)
+    spec = zaftpu.stft(sig, win, 1024)
+    ref_rec = np.asarray(zaftpu.istft(spec, win, 1024))
+    mask = np.ones(spec.shape, np.float32)
+    mask[100:400, :] = 0.0
+    spec_m = jnp.asarray(np.asarray(spec) * mask)
+    ref_m = np.asarray(zaftpu.istft(spec_m, win, 1024))
+
+    monkeypatch.setenv("ZAFTPU_STFT", "conv")
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    jax.clear_caches()
+    spec_c = np.asarray(zaftpu.stft(sig, win, 1024))
+    rec = np.asarray(zaftpu.istft(spec, win, 1024))
+    rec_m = np.asarray(zaftpu.istft(spec_m, win, 1024))
+    monkeypatch.delenv("ZAFTPU_STFT")
+    monkeypatch.delenv("ZAFTPU_FFT")
+    jax.clear_caches()
+
+    scale = np.abs(np.asarray(spec)).max()
+    np.testing.assert_allclose(spec_c.real, np.asarray(spec).real,
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(spec_c.imag, np.asarray(spec).imag,
+                               atol=3e-6 * scale)
+    np.testing.assert_allclose(rec, ref_rec,
+                               atol=3e-6 * np.abs(ref_rec).max())
+    np.testing.assert_allclose(rec_m, ref_m,
+                               atol=3e-6 * max(np.abs(ref_m).max(), 1e-9))

@@ -106,6 +106,11 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     from zaftpu.core import fft as _fft
     from zaftpu.pallas import fused as _fused
 
+    if (os.environ.get("ZAFTPU_STFT") == "conv" and padded.ndim == 1
+            and padded.dtype == jnp.float32
+            and _fft.direct_engine_enabled(window_length)):
+        return _fused.conv_frames_rfft(padded, window, window_length, step,
+                                       number_times)
     if (enabled() and os.environ.get("ZAFTPU_FUSED") == "1"
             and padded.ndim == 1
             and _fft.direct_engine_enabled(window_length)
@@ -125,3 +130,20 @@ def overlap_add(frames, step: int):
             and _framing.supported(wl, step, frames.dtype)):
         return _ola.overlap_add(frames, step)
     return _xla_frame.overlap_add(frames, step)
+
+
+def real_ifft_overlap_add(spectra, step: int):
+    """Synthesis back end: ``overlap_add(real_ifft(spectra), step)``.
+
+    Under ``ZAFTPU_STFT=conv`` this is one `lax.conv_transpose` (inverse
+    DFT GEMMs + scatter-add in the filter, no frame matrix in HBM);
+    otherwise the split real_ifft + OLA path with its own dispatch."""
+    from zaftpu.core import fft as _fft
+    from zaftpu.pallas import fused as _fused
+
+    if (os.environ.get("ZAFTPU_STFT") == "conv" and spectra.ndim == 2
+            and spectra.dtype == jnp.complex64
+            and _fft.direct_engine_enabled(spectra.shape[-1])):
+        return _fused.conv_real_ifft_ola(spectra, step)
+    frames = _fft.real_ifft(spectra)
+    return overlap_add(frames, step)

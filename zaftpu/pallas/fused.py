@@ -138,3 +138,95 @@ def frames_rfft(padded, window, window_length: int, step: int,
                         number_times, matmul_precision(),
                         interpret=interpret)
     return jax.lax.complex(out[0, :, :f], out[1, :, :f])
+
+
+@lru_cache(maxsize=8)
+def _rdft_ops_flat(n: int):
+    """``(N, 2F)`` cos|sin rfft operator (columns concatenated), float32."""
+    from zaftpu.core.fft import _direct_rdft_mats
+
+    cos_m, sin_m = _direct_rdft_mats(n, "float32")
+    return np.concatenate([cos_m, sin_m], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("window_length", "step",
+                                             "number_times", "precision"))
+def _conv_rfft(padded, window, ops, window_length: int, step: int,
+               number_times: int, precision):
+    f = window_length // 2 + 1
+    # Fold the (possibly traced) analysis window into the DFT filter on
+    # device — one elementwise pass over the 2F-column operator per call,
+    # negligible next to the convolution itself.
+    filt = (window[:, None].astype(ops.dtype) * ops)[:, None, :]
+    need = (number_times - 1) * step + window_length
+    if padded.shape[0] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[0]))
+    out = jax.lax.conv_general_dilated(
+        padded[None, :need, None].astype(ops.dtype), filt,
+        window_strides=(step,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision, preferred_element_type=ops.dtype)
+    out = out[0, :number_times, :]
+    return jax.lax.complex(out[:, :f], out[:, f:])
+
+
+@lru_cache(maxsize=8)
+def _ridft_ola_filter(n: int):
+    """``(N, 2N, 1)`` transposed-conv filter for the synthesis back end:
+    ``filt[u, k] = cos_m[k, u]`` / ``-sin_m[k-N, u]`` — the inverse-DFT
+    GEMM pair of ``core.fft.direct_real_ifft`` and the overlap-add fold
+    into one ``lax.conv_transpose``."""
+    from zaftpu.core.fft import _direct_ridft_mats
+
+    cos_m, sin_m = _direct_ridft_mats(n, "float32")
+    # conv_transpose(transpose_kernel=False) runs a fractionally-strided
+    # *correlation*, so the spatial axis must be pre-reversed for the
+    # scatter orientation out[r*step + u] += frames[r, u] (verified vs the
+    # split path in tests).
+    return np.ascontiguousarray(
+        np.concatenate([cos_m, -sin_m], axis=0).T[::-1])[:, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("step", "precision"))
+def _conv_ola(comp, filt, step: int, precision):
+    out = jax.lax.conv_transpose(
+        comp[None, :, :], filt, strides=(step,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
+        preferred_element_type=comp.dtype)
+    return out[0, :, 0]
+
+
+def conv_real_ifft_ola(spectra, step: int):
+    """``overlap_add(real_ifft(spectra), step)`` as ONE transposed
+    convolution (``ZAFTPU_STFT=conv`` synthesis back end).
+
+    ``spectra`` is the frames-major full complex STFT ``(T, N)``; output is
+    the OLA signal ``((T-1)*step + N,)``. The inverse-DFT operators and the
+    scatter-add pattern live in the conv filter, so neither the real frame
+    matrix nor a separate OLA pass touches HBM (reference synthesis chain
+    zaf.py:222-233)."""
+    from zaftpu.core.policy import matmul_precision
+    from zaftpu.utils.devcache import device_constant
+
+    n = spectra.shape[-1]
+    filt = device_constant(_ridft_ola_filter(n), np.float32)
+    comp = jnp.concatenate([jnp.real(spectra), jnp.imag(spectra)],
+                           axis=-1).astype(jnp.float32)
+    return _conv_ola(comp, filt, step, matmul_precision())
+
+
+def conv_frames_rfft(padded, window, window_length: int, step: int,
+                     number_times: int):
+    """Windowed-frames rfft as ONE strided convolution (``ZAFTPU_STFT=conv``).
+
+    The analysis window multiplies into the DFT filter, so framing +
+    windowing + both DFT GEMMs become a single `lax.conv_general_dilated`
+    with stride ``step`` — no frame matrix, no Pallas; XLA owns the
+    lowering. An A/B alternative to the Pallas fused kernel for the same
+    HBM-traffic goal (reference hot path zaf.py:94-141)."""
+    from zaftpu.core.policy import matmul_precision
+    from zaftpu.utils.devcache import device_constant
+
+    ops = device_constant(_rdft_ops_flat(window_length), np.float32)
+    return _conv_rfft(padded, window, ops, window_length, step,
+                      number_times, matmul_precision())

@@ -92,8 +92,8 @@ def _istft_core(audio_stft: jnp.ndarray, step_length: int,
     from zaftpu import pallas as _pallas
 
     wl = audio_stft.shape[-2]
-    frames = _fft.real_ifft(jnp.swapaxes(audio_stft, -1, -2))
-    signal = _pallas.overlap_add(frames, step_length)
+    signal = _pallas.real_ifft_overlap_add(
+        jnp.swapaxes(audio_stft, -1, -2), step_length)
     # Trim the centering pad (zaf.py:236-238) and divide by the COLA gain
     # (zaf.py:241); the gain is a host-side float64 scalar of the window.
     edge = wl - step_length
