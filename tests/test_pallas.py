@@ -214,3 +214,31 @@ def test_conv_stft_istft_matches_default(monkeypatch):
                                atol=3e-6 * np.abs(ref_rec).max())
     np.testing.assert_allclose(rec_m, ref_m,
                                atol=3e-6 * max(np.abs(ref_m).max(), 1e-9))
+
+
+def test_conv_mdct_imdct_matches_default(monkeypatch):
+    """Conv-mode MDCT/IMDCT (folded operator + TDAC window in the conv
+    filter) must match the default program, incl. the reference's KBD
+    window whose length 2046 is not Pallas-aligned (zaf.py:1004-1010)."""
+    import jax
+
+    import zaftpu
+    from zaftpu.core.windows import kbd
+
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    for win in (vorbis(2048).astype(np.float32),
+                kbd(2048).astype(np.float32)):
+        ref = np.asarray(zaftpu.mdct(sig, win))
+        ref_rec = np.asarray(zaftpu.imdct(jnp.asarray(ref), win))
+        monkeypatch.setenv("ZAFTPU_STFT", "conv")
+        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+        jax.clear_caches()
+        out = np.asarray(zaftpu.mdct(sig, win))
+        rec = np.asarray(zaftpu.imdct(jnp.asarray(ref), win))
+        monkeypatch.delenv("ZAFTPU_STFT")
+        monkeypatch.delenv("ZAFTPU_FFT")
+        jax.clear_caches()
+        np.testing.assert_allclose(out, ref, atol=3e-6 * np.abs(ref).max())
+        np.testing.assert_allclose(rec, ref_rec,
+                                   atol=3e-6 * np.abs(ref_rec).max())

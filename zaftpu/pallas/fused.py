@@ -151,12 +151,12 @@ def _rdft_ops_flat(n: int):
 
 @functools.partial(jax.jit, static_argnames=("window_length", "step",
                                              "number_times", "precision"))
-def _conv_rfft(padded, window, ops, window_length: int, step: int,
-               number_times: int, precision):
-    f = window_length // 2 + 1
-    # Fold the (possibly traced) analysis window into the DFT filter on
-    # device — one elementwise pass over the 2F-column operator per call,
-    # negligible next to the convolution itself.
+def _conv_apply(padded, window, ops, window_length: int, step: int,
+                number_times: int, precision):
+    """``(windowed frames) @ ops`` as one strided convolution → real
+    ``(number_times, C)``. The (possibly traced) analysis window folds into
+    the filter on device — one elementwise pass over the C-column operator
+    per call, negligible next to the convolution itself."""
     filt = (window[:, None].astype(ops.dtype) * ops)[:, None, :]
     need = (number_times - 1) * step + window_length
     if padded.shape[0] < need:
@@ -166,8 +166,7 @@ def _conv_rfft(padded, window, ops, window_length: int, step: int,
         window_strides=(step,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
         precision=precision, preferred_element_type=ops.dtype)
-    out = out[0, :number_times, :]
-    return jax.lax.complex(out[:, :f], out[:, f:])
+    return out[0, :number_times, :]
 
 
 @lru_cache(maxsize=8)
@@ -227,6 +226,50 @@ def conv_frames_rfft(padded, window, window_length: int, step: int,
     from zaftpu.core.policy import matmul_precision
     from zaftpu.utils.devcache import device_constant
 
+    f = window_length // 2 + 1
     ops = device_constant(_rdft_ops_flat(window_length), np.float32)
-    return _conv_rfft(padded, window, ops, window_length, step,
+    out = _conv_apply(padded, window, ops, window_length, step,
                       number_times, matmul_precision())
+    return jax.lax.complex(out[:, :f], out[:, f:])
+
+
+def conv_frames_apply(padded, window, ops_np, window_length: int, step: int,
+                      number_times: int):
+    """Generic conv-mode analysis: ``(windowed frames) @ ops_np`` as one
+    strided convolution. Used by the MDCT's folded forward operator
+    (reference chain zaf.py:1047-1071)."""
+    from zaftpu.core.policy import matmul_precision
+    from zaftpu.utils.devcache import device_constant
+
+    ops = device_constant(np.ascontiguousarray(ops_np, np.float32),
+                          np.float32)
+    return _conv_apply(padded, window, ops, window_length, step,
+                       number_times, matmul_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("step", "precision"))
+def _conv_transpose_apply(coeffs, window, ops, step: int, precision):
+    # Fold the synthesis window into the filter and pre-reverse the spatial
+    # axis on device (conv_transpose runs a fractionally strided
+    # correlation) — one elementwise + transpose pass per call.
+    filt = ops * window[None, :].astype(ops.dtype)
+    filt = jnp.flip(jnp.transpose(filt), 0)[:, :, None]
+    out = jax.lax.conv_transpose(
+        coeffs[None, :, :].astype(ops.dtype), filt, strides=(step,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision, preferred_element_type=ops.dtype)
+    return out[0, :, 0]
+
+
+def conv_matmul_window_ola(coeffs, window, ops_np, step: int):
+    """Generic conv-mode synthesis: ``overlap_add((coeffs @ ops_np) *
+    window, step)`` as one ``lax.conv_transpose`` — the inverse operator,
+    the synthesis window, and the scatter-add all live in the filter. Used
+    by the IMDCT back end (zaf.py:1124-1184)."""
+    from zaftpu.core.policy import matmul_precision
+    from zaftpu.utils.devcache import device_constant
+
+    ops = device_constant(np.ascontiguousarray(ops_np, np.float32),
+                          np.float32)
+    return _conv_transpose_apply(coeffs, window, ops, step,
+                                 matmul_precision())
