@@ -242,3 +242,38 @@ def test_conv_mdct_imdct_matches_default(monkeypatch):
         np.testing.assert_allclose(out, ref, atol=3e-6 * np.abs(ref).max())
         np.testing.assert_allclose(rec, ref_rec,
                                    atol=3e-6 * np.abs(ref_rec).max())
+
+
+def test_conv_mode_batched(monkeypatch):
+    """Conv-mode transforms ride the convolution batch dim for leading
+    axes — values identical to the default batched programs."""
+    import jax
+
+    import zaftpu
+
+    rng = np.random.default_rng(13)
+    xb = rng.standard_normal((3, 30000)).astype(np.float32)
+    win = hamming(2048).astype(np.float32)
+    wv = vorbis(2048).astype(np.float32)
+    spec = zaftpu.stft(xb, win, 1024)
+    rec_ref = np.asarray(zaftpu.istft(spec, win, 1024))
+    md = zaftpu.mdct(xb, wv)
+    md_rec_ref = np.asarray(zaftpu.imdct(md, wv))
+    monkeypatch.setenv("ZAFTPU_STFT", "conv")
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    jax.clear_caches()
+    outs = [np.asarray(zaftpu.stft(xb, win, 1024)),
+            np.asarray(zaftpu.istft(spec, win, 1024)),
+            np.asarray(zaftpu.mdct(xb, wv)),
+            np.asarray(zaftpu.imdct(md, wv))]
+    monkeypatch.delenv("ZAFTPU_STFT")
+    monkeypatch.delenv("ZAFTPU_FFT")
+    jax.clear_caches()
+    for got, ref in zip(outs, [np.asarray(spec), rec_ref,
+                               np.asarray(md), md_rec_ref]):
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got.real, ref.real,
+                                   atol=3e-6 * np.abs(ref).max())
+        if np.iscomplexobj(ref):
+            np.testing.assert_allclose(got.imag, ref.imag,
+                                       atol=3e-6 * np.abs(ref).max())

@@ -106,7 +106,7 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     from zaftpu.core import fft as _fft
     from zaftpu.pallas import fused as _fused
 
-    if (os.environ.get("ZAFTPU_STFT") == "conv" and padded.ndim == 1
+    if (os.environ.get("ZAFTPU_STFT") == "conv"
             and padded.dtype == jnp.float32
             and _fft.direct_engine_enabled(window_length)):
         return _fused.conv_frames_rfft(padded, window, window_length, step,
@@ -141,7 +141,7 @@ def real_ifft_overlap_add(spectra, step: int):
     from zaftpu.core import fft as _fft
     from zaftpu.pallas import fused as _fused
 
-    if (os.environ.get("ZAFTPU_STFT") == "conv" and spectra.ndim == 2
+    if (os.environ.get("ZAFTPU_STFT") == "conv" and spectra.ndim >= 2
             and spectra.dtype == jnp.complex64
             and _fft.direct_engine_enabled(spectra.shape[-1])):
         return _fused.conv_real_ifft_ola(spectra, step)

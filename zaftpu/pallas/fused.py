@@ -154,19 +154,23 @@ def _rdft_ops_flat(n: int):
 def _conv_apply(padded, window, ops, window_length: int, step: int,
                 number_times: int, precision):
     """``(windowed frames) @ ops`` as one strided convolution → real
-    ``(number_times, C)``. The (possibly traced) analysis window folds into
-    the filter on device — one elementwise pass over the C-column operator
-    per call, negligible next to the convolution itself."""
+    ``(..., number_times, C)``. The (possibly traced) analysis window folds
+    into the filter on device — one elementwise pass over the C-column
+    operator per call, negligible next to the convolution itself. Leading
+    axes ride the convolution's batch dimension."""
     filt = (window[:, None].astype(ops.dtype) * ops)[:, None, :]
     need = (number_times - 1) * step + window_length
-    if padded.shape[0] < need:
-        padded = jnp.pad(padded, (0, need - padded.shape[0]))
+    if padded.shape[-1] < need:
+        padded = jnp.pad(padded, [(0, 0)] * (padded.ndim - 1)
+                         + [(0, need - padded.shape[-1])])
+    lead = padded.shape[:-1]
+    lhs = padded[..., :need].reshape((-1, need, 1)).astype(ops.dtype)
     out = jax.lax.conv_general_dilated(
-        padded[None, :need, None].astype(ops.dtype), filt,
-        window_strides=(step,), padding="VALID",
+        lhs, filt, window_strides=(step,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
         precision=precision, preferred_element_type=ops.dtype)
-    return out[0, :number_times, :]
+    out = out[:, :number_times, :]
+    return out.reshape(lead + out.shape[1:])
 
 
 @lru_cache(maxsize=8)
@@ -188,11 +192,13 @@ def _ridft_ola_filter(n: int):
 
 @functools.partial(jax.jit, static_argnames=("step", "precision"))
 def _conv_ola(comp, filt, step: int, precision):
+    lead = comp.shape[:-2]
+    lhs = comp.reshape((-1,) + comp.shape[-2:])
     out = jax.lax.conv_transpose(
-        comp[None, :, :], filt, strides=(step,), padding="VALID",
+        lhs, filt, strides=(step,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
         preferred_element_type=comp.dtype)
-    return out[0, :, 0]
+    return out[..., 0].reshape(lead + (out.shape[1],))
 
 
 def conv_real_ifft_ola(spectra, step: int):
@@ -230,7 +236,7 @@ def conv_frames_rfft(padded, window, window_length: int, step: int,
     ops = device_constant(_rdft_ops_flat(window_length), np.float32)
     out = _conv_apply(padded, window, ops, window_length, step,
                       number_times, matmul_precision())
-    return jax.lax.complex(out[:, :f], out[:, f:])
+    return jax.lax.complex(out[..., :f], out[..., f:])
 
 
 def conv_frames_apply(padded, window, ops_np, window_length: int, step: int,
@@ -254,11 +260,13 @@ def _conv_transpose_apply(coeffs, window, ops, step: int, precision):
     # correlation) — one elementwise + transpose pass per call.
     filt = ops * window[None, :].astype(ops.dtype)
     filt = jnp.flip(jnp.transpose(filt), 0)[:, :, None]
+    lead = coeffs.shape[:-2]
+    lhs = coeffs.reshape((-1,) + coeffs.shape[-2:]).astype(ops.dtype)
     out = jax.lax.conv_transpose(
-        coeffs[None, :, :].astype(ops.dtype), filt, strides=(step,),
+        lhs, filt, strides=(step,),
         padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
         precision=precision, preferred_element_type=ops.dtype)
-    return out[0, :, 0]
+    return out[..., 0].reshape(lead + (out.shape[1],))
 
 
 def conv_matmul_window_ola(coeffs, window, ops_np, step: int):

@@ -127,7 +127,8 @@ def _mdct_conv_core(audio_signal, window_function, matrix_np):
     step = wl // 2
     n = audio_signal.shape[-1]
     t = int(np.ceil(n / step)) + 1
-    padded = jnp.pad(audio_signal, (step, (t + 1) * step - n))
+    padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
+                     + [(step, (t + 1) * step - n)])
     out = _fused.conv_frames_apply(padded, window_function, matrix_np,
                                    wl, step, t)
     return jnp.swapaxes(out, -1, -2)
@@ -185,7 +186,6 @@ def mdct(audio_signal, window_function):
         _validate.check_window(window_function, even=True))
     wl = window_function.shape[0]
     if (os.environ.get("ZAFTPU_STFT") == "conv"
-            and audio_signal.ndim == 1
             and audio_signal.dtype == jnp.float32
             and _fft.direct_engine_enabled(wl)):
         return _mdct_conv_core(audio_signal, window_function,
@@ -249,7 +249,7 @@ def imdct(audio_mdct, window_function):
             f"{2 * audio_mdct.shape[-2]}, got {wlen}")
     f = audio_mdct.shape[-2]
     if (os.environ.get("ZAFTPU_STFT") == "conv"
-            and audio_mdct.ndim == 2
+            and audio_mdct.ndim >= 2
             and audio_mdct.dtype == jnp.float32
             and _fft.direct_engine_enabled(2 * f)):
         return _imdct_conv_core(audio_mdct,
