@@ -329,6 +329,8 @@ def _supervise():
         # on TPU (docs/tpu_results/stft_engines.json), Pallas framing on.
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
+        ("TPU (conv)",
+         {"ZAFTPU_PALLAS": "0", "ZAFTPU_STFT": "conv"}, budget),
         ("TPU (native FFT)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "native"}, budget),
         ("TPU (matmul FFT, 3-pass)",
