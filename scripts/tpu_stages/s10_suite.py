@@ -1,9 +1,12 @@
-"""Stage 10: full per-transform throughput suite on the chip.
+"""Stage 10: full per-transform throughput suite on the chip, default vs
+conv formulation.
 
 Runs ``zaftpu.bench.harness`` (every public transform, 2 min of the real
-fixture, 3-rep warm averages) in a worker subprocess and folds the per-
-transform JSON lines into ONE stage result — the TPU column for the
-per-transform table in docs/perf.md (the CPU column is already there).
+fixture, 3-rep warm averages) in worker subprocesses — once with the
+default dispatch (ZAFTPU_FFT=auto -> GEMM engine + Pallas framing) and once
+with ``ZAFTPU_STFT=conv`` (strided-conv formulations, incl. the conv CQT)
+— and folds the per-transform JSON lines into ONE stage result: the TPU
+columns for docs/perf.md's per-transform table.
 """
 
 import json
@@ -12,11 +15,11 @@ import subprocess
 import sys
 
 
-def main():
-    env = dict(os.environ)
+def run_arm(extra_env):
+    env = dict(os.environ, **extra_env)
     proc = subprocess.run(
         [sys.executable, "-m", "zaftpu.bench.harness", "--seconds", "120"],
-        env=env, timeout=1500, capture_output=True, text=True)
+        env=env, timeout=1200, capture_output=True, text=True)
     print(proc.stderr[-3000:], file=sys.stderr, flush=True)
     rows = []
     for line in proc.stdout.strip().splitlines():
@@ -25,10 +28,18 @@ def main():
         except json.JSONDecodeError:
             continue
     backend = "tpu" if "backend: tpu" in proc.stderr else "unknown"
-    ok = proc.returncode == 0 and len(rows) >= 10 and backend == "tpu"
-    print(json.dumps({"ok": ok, "backend": backend,
-                      "transforms": {r["transform"]: r["frames_per_sec"]
-                                     for r in rows if "transform" in r}}))
+    return {"ok": proc.returncode == 0 and len(rows) >= 10
+                  and backend == "tpu",
+            "backend": backend,
+            "transforms": {r["transform"]: r["frames_per_sec"]
+                           for r in rows if "transform" in r}}
+
+
+def main():
+    arms = {"default": run_arm({}),
+            "conv": run_arm({"ZAFTPU_STFT": "conv"})}
+    # conv is informational; the default column gates rerun.
+    print(json.dumps({"ok": arms["default"]["ok"], "arms": arms}))
     return 0
 
 
