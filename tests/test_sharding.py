@@ -240,3 +240,22 @@ def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch):
     assert rec.shape == rec_ref.shape
     np.testing.assert_allclose(rec, rec_ref, atol=1e-13)
     assert snr_db(signal, rec) > 250.0
+
+
+def test_conv_mode_does_not_leak_into_sharded(signal, mesh, monkeypatch):
+    """``ZAFTPU_STFT=conv`` is a single-device dispatch lever only: sharded
+    transforms keep the one canonical framed engine, so their values never
+    depend on an env var (or on shard count). With conv mode active, the
+    sharded STFT must still match the framed single-device program
+    bit-for-bit, while the conv single-device program is merely close."""
+    x32 = signal.astype(np.float32)
+    win32 = hamming(WL).astype(np.float32)
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")   # conv needs the GEMM engine
+    framed_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
+    monkeypatch.setenv("ZAFTPU_STFT", "conv")
+    conv_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
+    out = np.asarray(stft_sharded(x32, win32, STEP, mesh))
+    # Sharded == framed single-device exactly, independent of conv mode.
+    np.testing.assert_array_equal(out, framed_ref)
+    # ... and the conv program itself is only float-noise away.
+    assert np.max(np.abs(conv_ref - framed_ref)) < 1e-4
