@@ -30,9 +30,17 @@ def _signal(seconds: float, sr: int = 44100) -> np.ndarray:
         return (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
 
 
-def run_transform_suite(seconds: float = 60.0, reps: int = 3):
+def run_transform_suite(seconds: float = 60.0, reps: int = 3,
+                        dispatches: int | None = None):
     """Time every transform; returns list of dicts (printed as a table)."""
+    import jax
     import jax.numpy as jnp
+
+    if dispatches is None:
+        # Remote-tunnel backends need amortization over back-to-back
+        # dispatches so the ~0.2-0.5 s per-sync overhead doesn't swamp
+        # millisecond device programs; locally one dispatch per rep is exact.
+        dispatches = 12 if jax.default_backend() == "tpu" else 1
 
     import zaftpu
     from zaftpu.core.windows import hamming, vorbis
@@ -52,7 +60,8 @@ def run_transform_suite(seconds: float = 60.0, reps: int = 3):
     rows = []
 
     def bench(name, fn, frames, *args):
-        _, stats = timed(name, fn, *args, frames=frames, reps=reps, log=False)
+        _, stats = timed(name, fn, *args, frames=frames, reps=reps, log=False,
+                         dispatches=dispatches)
         rows.append({"transform": name, "seconds": round(stats.seconds, 4),
                      "frames_per_sec": round(stats.frames_per_second, 1)})
         return _
@@ -126,6 +135,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--seconds", type=float, default=60.0)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--dispatches", type=int, default=None,
+                        help="back-to-back calls per timed rep "
+                             "(default: 12 on TPU, 1 elsewhere)")
     parser.add_argument("--scaling", action="store_true")
     args = parser.parse_args(argv)
 
@@ -134,7 +146,8 @@ def main(argv=None):
     print(f"# backend: {jax.default_backend()}, devices: "
           f"{len(jax.devices())}", file=sys.stderr)
     rows = (run_scaling(args.seconds, args.reps) if args.scaling
-            else run_transform_suite(args.seconds, args.reps))
+            else run_transform_suite(args.seconds, args.reps,
+                                     args.dispatches))
     for row in rows:
         print(json.dumps(row))
 

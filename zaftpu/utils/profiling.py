@@ -97,11 +97,17 @@ def _block(x):
 
 
 def timed(name: str, fn, *args, frames: int | None = None, reps: int = 1,
-          warmup: bool = True, log: bool = True):
+          warmup: bool = True, log: bool = True, dispatches: int = 1):
     """Run ``fn(*args)`` on device, blocking, best-of-``reps`` timing.
 
-    Returns ``(result, TransformStats)``; logs at INFO when ``log``.
+    ``dispatches`` > 1 issues that many back-to-back calls per rep with ONE
+    trailing dependent fetch, then subtracts the measured idle-device cost
+    of that fetch — through a remote-device tunnel the per-sync overhead is
+    ~0.2-0.5 s and would otherwise swamp millisecond-scale device programs.
+    Reported seconds are per call. Returns ``(result, TransformStats)``;
+    logs at INFO when ``log``.
     """
+    dispatches = max(1, dispatches)
     if warmup:
         _block(fn(*args))
     best = float("inf")
@@ -109,9 +115,17 @@ def timed(name: str, fn, *args, frames: int | None = None, reps: int = 1,
     for _ in range(max(1, reps)):
         start = time.perf_counter()
         with annotate(name):
-            result = fn(*args)
+            for _ in range(dispatches):
+                result = fn(*args)
             _block(result)
-        best = min(best, time.perf_counter() - start)
+        elapsed = time.perf_counter() - start
+        t1 = time.perf_counter()
+        _block(result)  # device now idle: pure sync/fetch overhead
+        sync_s = time.perf_counter() - t1
+        # Cap the subtraction so a stalled second fetch can't produce a
+        # nonsensically fast (or negative) figure.
+        elapsed = max(elapsed - min(sync_s, elapsed * 0.5), 1e-9)
+        best = min(best, elapsed / dispatches)
     stats = TransformStats(name=name, seconds=best, frames=frames)
     if log:
         logger.info("%s", stats)
