@@ -111,6 +111,52 @@ def test_device_constant_cache():
     assert devcache.cache_size() == before
 
 
+def test_pinned_device_constant_uploads_once():
+    """The >2MB folded operators (MDCT matrices, conv DFT filters) must
+    upload once per process, not per call: through the TPU tunnel a per-call
+    8-17 MB transfer is ~0.15 s, which capped the direct-GEMM MDCT at ~150k
+    frames/s vs the STFT's ~850k (docs/tpu_results/stft_engines.json)."""
+    from zaftpu.utils import devcache
+
+    devcache.clear()
+    big = np.zeros((1024, 2048))  # 16.8 MB, like _direct_forward_matrix
+    p1 = devcache.pinned_device_constant(big, np.float32)
+    p2 = devcache.pinned_device_constant(big, np.float32)
+    assert p1 is p2 and p1.dtype == np.float32
+    devcache.clear()
+
+
+def test_mdct_direct_operator_single_upload(monkeypatch):
+    """zaftpu.mdct/imdct under the matmul engine reuse one device copy of
+    the folded operator across calls (the regression behind the slow s8
+    direct-arm MDCT numbers)."""
+    import zaftpu
+    from zaftpu.core.windows import vorbis
+    from zaftpu.utils import devcache
+
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    devcache.clear()
+    x = np.random.default_rng(0).standard_normal(8192).astype(np.float32)
+    win = vorbis(512).astype(np.float32)
+    out = zaftpu.mdct(x, win)
+    rec = zaftpu.imdct(out, win)
+
+    uploads = []
+    real_upload = devcache._upload
+
+    def counting_upload(host):
+        uploads.append(host.nbytes)
+        return real_upload(host)
+
+    monkeypatch.setattr(devcache, "_upload", counting_upload)
+    out2 = zaftpu.mdct(x, win)
+    zaftpu.imdct(out2, win)
+    big_uploads = [b for b in uploads if b >= devcache._CONTENT_LIMIT]
+    assert big_uploads == [], f"operator re-uploaded: {big_uploads}"
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out))
+    assert rec.shape[-1] == 8191
+
+
 def test_as_device_constant_passthrough_for_tracers():
     import jax
     import jax.numpy as jnp

@@ -130,10 +130,10 @@ def frames_rfft(padded, window, window_length: int, step: int,
     """Fused windowed-frames rfft: ``(T, WL//2+1)`` complex64 half-spectrum
     in a single HBM pass over the signal (no frame materialization)."""
     from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import device_constant
+    from zaftpu.utils.devcache import pinned_device_constant
 
     f = window_length // 2 + 1
-    ops = device_constant(_rdft_ops_padded(window_length), np.float32)
+    ops = pinned_device_constant(_rdft_ops_padded(window_length), np.float32)
     out = frames_matmul(padded, window, ops, window_length, step,
                         number_times, matmul_precision(),
                         interpret=interpret)
@@ -211,10 +211,10 @@ def conv_real_ifft_ola(spectra, step: int):
     matrix nor a separate OLA pass touches HBM (reference synthesis chain
     zaf.py:222-233)."""
     from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import device_constant
+    from zaftpu.utils.devcache import pinned_device_constant
 
     n = spectra.shape[-1]
-    filt = device_constant(_ridft_ola_filter(n), np.float32)
+    filt = pinned_device_constant(_ridft_ola_filter(n), np.float32)
     comp = jnp.concatenate([jnp.real(spectra), jnp.imag(spectra)],
                            axis=-1).astype(jnp.float32)
     return _conv_ola(comp, filt, step, matmul_precision())
@@ -230,10 +230,10 @@ def conv_frames_rfft(padded, window, window_length: int, step: int,
     lowering. An A/B alternative to the Pallas fused kernel for the same
     HBM-traffic goal (reference hot path zaf.py:94-141)."""
     from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import device_constant
+    from zaftpu.utils.devcache import pinned_device_constant
 
     f = window_length // 2 + 1
-    ops = device_constant(_rdft_ops_flat(window_length), np.float32)
+    ops = pinned_device_constant(_rdft_ops_flat(window_length), np.float32)
     out = _conv_apply(padded, window, ops, window_length, step,
                       number_times, matmul_precision())
     return jax.lax.complex(out[..., :f], out[..., f:])
@@ -245,10 +245,9 @@ def conv_frames_apply(padded, window, ops_np, window_length: int, step: int,
     strided convolution. Used by the MDCT's folded forward operator
     (reference chain zaf.py:1047-1071)."""
     from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import device_constant
+    from zaftpu.utils.devcache import pinned_device_constant
 
-    ops = device_constant(np.ascontiguousarray(ops_np, np.float32),
-                          np.float32)
+    ops = pinned_device_constant(ops_np, np.float32)
     return _conv_apply(padded, window, ops, window_length, step,
                        number_times, matmul_precision())
 
@@ -275,9 +274,8 @@ def conv_matmul_window_ola(coeffs, window, ops_np, step: int):
     the synthesis window, and the scatter-add all live in the filter. Used
     by the IMDCT back end (zaf.py:1124-1184)."""
     from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import device_constant
+    from zaftpu.utils.devcache import pinned_device_constant
 
-    ops = device_constant(np.ascontiguousarray(ops_np, np.float32),
-                          np.float32)
+    ops = pinned_device_constant(ops_np, np.float32)
     return _conv_transpose_apply(coeffs, window, ops, step,
                                  matmul_precision())

@@ -418,7 +418,8 @@ def mdct_sharded(audio_signal, window_function, mesh,
     n = audio_signal.shape[-1]
     t = int(np.ceil(n / step)) + 1
     t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
-    from zaftpu.utils.devcache import as_device_constant, device_constant
+    from zaftpu.utils.devcache import (as_device_constant, device_constant,
+                                       pinned_device_constant)
 
     audio_signal = _prepad_tail(audio_signal, body_len - step)
     if _fft.direct_engine_enabled(wl):
@@ -426,7 +427,7 @@ def mdct_sharded(audio_signal, window_function, mesh,
                   else np.float64)
         out = _mdct_full_sharded_direct(
             audio_signal, as_device_constant(window_function),
-            device_constant(_direct_forward_matrix(wl), rdtype),
+            pinned_device_constant(_direct_forward_matrix(wl), rdtype),
             mesh, axis_name, (step, body_len, t_pad))
         return out[..., :t]
     pre, post = _forward_twiddles(wl)
@@ -477,7 +478,8 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
     n_shards = mesh.shape[axis_name]
     t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
-    from zaftpu.utils.devcache import as_device_constant, device_constant
+    from zaftpu.utils.devcache import (as_device_constant, device_constant,
+                                       pinned_device_constant)
 
     padded = jnp.pad(
         audio_mdct,
@@ -487,7 +489,7 @@ def imdct_sharded(audio_mdct, window_function, mesh,
                   else np.float64)
         out = _imdct_core_sharded_direct(
             padded, as_device_constant(window_function),
-            device_constant(_direct_inverse_matrix(f), rdtype),
+            pinned_device_constant(_direct_inverse_matrix(f), rdtype),
             mesh, axis_name)
         return out[..., :f * t - f - 1]
     pre, post = _inverse_twiddles(f)

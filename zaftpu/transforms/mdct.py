@@ -179,7 +179,8 @@ def mdct(audio_signal, window_function):
         ``number_times = ceil(N/(WL/2)) + 1`` — reference zaf.py:984-1075
         semantics.
     """
-    from zaftpu.utils.devcache import as_device_constant, device_constant
+    from zaftpu.utils.devcache import (as_device_constant, device_constant,
+                                       pinned_device_constant)
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     window_function = as_device_constant(
@@ -194,7 +195,7 @@ def mdct(audio_signal, window_function):
         rdtype = np.float32 if audio_signal.dtype == jnp.float32 else np.float64
         return _mdct_direct_core(
             audio_signal, window_function,
-            device_constant(_direct_forward_matrix(wl), rdtype))
+            pinned_device_constant(_direct_forward_matrix(wl), rdtype))
     pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     return _mdct_core(audio_signal, window_function,
@@ -234,7 +235,8 @@ def imdct(audio_mdct, window_function):
         zaf.py:1078-1184 semantics (perfect reconstruction up to rounding for
         TDAC windows).
     """
-    from zaftpu.utils.devcache import as_device_constant, device_constant
+    from zaftpu.utils.devcache import (as_device_constant, device_constant,
+                                       pinned_device_constant)
 
     audio_mdct = jnp.asarray(audio_mdct)
     if audio_mdct.ndim < 2:
@@ -259,7 +261,7 @@ def imdct(audio_mdct, window_function):
         rdtype = np.float32 if audio_mdct.dtype == jnp.float32 else np.float64
         return _imdct_direct_core(
             audio_mdct, as_device_constant(window_function),
-            device_constant(_direct_inverse_matrix(f), rdtype))
+            pinned_device_constant(_direct_inverse_matrix(f), rdtype))
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     return _imdct_core(audio_mdct, as_device_constant(window_function),

@@ -85,6 +85,39 @@ def device_constant(array, dtype=None):
     return dev
 
 
+_pinned: dict = {}
+_PINNED_MAX = 64
+
+
+def pinned_device_constant(array, dtype=None):
+    """Identity-keyed device cache for the framework's own precomputes.
+
+    :func:`device_constant` deliberately refuses to cache arrays over the
+    2 MB content-hash limit — but the folded transform operators (MDCT's
+    ``(WL, WL/2)`` matrix, the conv-mode DFT filters) are 8–17 MB and *must*
+    not re-upload per call: on a remote-tunnel deployment that transfer is
+    ~0.15 s, which capped the direct-GEMM MDCT at ~150k frames/s while the
+    constant-embedding STFT path ran at ~850k (docs/tpu_results/
+    stft_engines.json, diagnosed 2026-08-17). Callers pass ``lru_cache``-held
+    host arrays whose identity is stable for the process, so the key is
+    ``(id, shape, dtype, want)`` with the host reference pinned. Never use
+    for caller-owned data — mutation would be invisible to the cache.
+    """
+    host = np.asarray(array)
+    want = np.dtype(dtype) if dtype is not None else host.dtype
+    if _tracing_active():
+        return _upload(host.astype(want) if want != host.dtype else host)
+    key = (id(host), host.shape, str(host.dtype), str(want))
+    hit = _pinned.get(key)
+    if hit is not None:
+        return hit[1]
+    dev = _upload(host.astype(want) if want != host.dtype else host)
+    while len(_pinned) >= _PINNED_MAX:
+        _pinned.pop(next(iter(_pinned)))
+    _pinned[key] = (host, dev)  # pin host so id() stays valid
+    return dev
+
+
 def as_device_constant(x, dtype=None):
     """:func:`device_constant` for host arrays; pass-through for jax arrays
     and tracers (so transforms stay differentiable w.r.t. windows)."""
@@ -112,3 +145,4 @@ def cache_size() -> int:
 
 def clear():
     _cache.clear()
+    _pinned.clear()
