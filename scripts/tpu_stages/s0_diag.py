@@ -92,30 +92,39 @@ print(fetch_sync(m))
 }
 
 
+# The raw complex-transfer and native-FFT cases document tunnel state
+# (complex buffers are rejected outright; native-FFT compiles are slow /
+# transient — the default ZAFTPU_FFT=auto dispatch uses the matmul engine on
+# TPU and depends on neither). Their behavior is pinned in the committed
+# diag.json history; rerunning them cost ~12 min of every session's best
+# tunnel minutes, so the default run covers only the framework-path gating
+# cases. Set ZAFTPU_DIAG_FULL=1 to re-probe everything.
+INFORMATIONAL = {"complex_scalar_fetch", "complex_array_fetch",
+                 "real_rfft", "fft_of_real_input",
+                 "fft_of_complex_input", "ifft_of_complex_input"}
+
+
 def main():
+    full = os.environ.get("ZAFTPU_DIAG_FULL") == "1"
     out = {"ok": True, "cases": {}}
     for name, code in CASES.items():
+        if not full and name in INFORMATIONAL:
+            continue
+        # 300 s: a cold framework compile through the tunnel can exceed
+        # 120 s without being wedged; successful compiles stick server-side.
         try:
             proc = subprocess.run(
-                [sys.executable, "-c", code], timeout=120,
+                [sys.executable, "-c", code], timeout=300,
                 capture_output=True, text=True, env=dict(os.environ))
             ok = proc.returncode == 0
             tail = (proc.stdout if ok else proc.stderr).strip().splitlines()
             out["cases"][name] = {"ok": ok,
                                   "tail": tail[-1][:160] if tail else ""}
         except subprocess.TimeoutExpired:
-            out["cases"][name] = {"ok": False, "tail": "timeout 120s"}
+            out["cases"][name] = {"ok": False, "tail": "timeout 300s"}
         print(f"{name}: {out['cases'][name]}", file=sys.stderr, flush=True)
-    # The raw complex-transfer and native-FFT cases document tunnel state
-    # (complex buffers are rejected outright; native-FFT compiles are slow /
-    # transient — the default ZAFTPU_FFT=auto dispatch uses the matmul
-    # engine on TPU and depends on neither); only the framework-path cases
-    # (stft/mdct fetch) gate ok/rerun.
-    informational = {"complex_scalar_fetch", "complex_array_fetch",
-                     "real_rfft", "fft_of_real_input",
-                     "fft_of_complex_input", "ifft_of_complex_input"}
     out["ok"] = all(c["ok"] for n, c in out["cases"].items()
-                    if n not in informational)
+                    if n not in INFORMATIONAL)
     print(json.dumps(out))
     return 0
 
