@@ -132,6 +132,17 @@ class TestDirectDft:
         ref = np.real(np.fft.ifft(z, axis=-1))
         np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
 
+    def test_real_ifft_odd_length(self):
+        """The Hermitian-fold weights branch on N parity (no Nyquist bin for
+        odd N) — gate an odd length explicitly."""
+        from zaftpu.core.fft import direct_real_ifft
+
+        z = (RNG.standard_normal((2, 511))
+             + 1j * RNG.standard_normal((2, 511)))
+        got = np.asarray(direct_real_ifft(jnp.asarray(z)))
+        ref = np.real(np.fft.ifft(z, axis=-1))
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
     def test_engine_routes_small_n_direct(self, monkeypatch):
         """Under ZAFTPU_FFT=matmul, rfft/real_ifft of n <= DIRECT_MAX use
         the direct GEMMs; DIRECT_MAX=0 falls back to four-step."""

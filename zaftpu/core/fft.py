@@ -276,13 +276,21 @@ def _direct_rdft_mats(n: int, rdtype_name: str):
 
 
 @lru_cache(maxsize=8)
-def _direct_ridft_mats(n: int, rdtype_name: str):
-    """Host-precomputed ``(N, N)`` inverse-DFT cos/sin matrices, 1/N folded
-    in (float64 math, cast to the target real dtype)."""
-    t = np.arange(n)
-    ang = (2.0 * np.pi / n) * ((t[:, None] * t[None, :]) % n)
-    return ((np.cos(ang) / n).astype(rdtype_name),
-            (np.sin(ang) / n).astype(rdtype_name))
+def _direct_ridft_half_mats(n: int, rdtype_name: str):
+    """Host-precomputed ``(N/2+1, N)`` inverse-DFT cos/sin matrices over the
+    non-mirrored bins, with the conjugate-pair weights (2 for interior bins,
+    1 for DC and — when N is even — Nyquist) and 1/N folded in (float64
+    math, cast to the target real dtype)."""
+    half = n // 2 + 1
+    k = np.arange(half)
+    weights = np.full(half, 2.0)
+    weights[0] = 1.0
+    if n % 2 == 0:
+        weights[-1] = 1.0
+    ang = (2.0 * np.pi / n) * ((k[:, None] * np.arange(n)[None, :]) % n)
+    scale = (weights / n)[:, None]
+    return ((np.cos(ang) * scale).astype(rdtype_name),
+            (np.sin(ang) * scale).astype(rdtype_name))
 
 
 def direct_rfft(x: jnp.ndarray) -> jnp.ndarray:
@@ -314,24 +322,32 @@ def direct_rfft(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
-    """``real(ifft(Z))`` of small spectra as two full-width MXU GEMMs.
+    """``real(ifft(Z))`` of small spectra as two half-width MXU GEMMs.
 
-    ``real(IFFT(Z))[t] = (1/N) sum_k [Re(Z)_k cos(2pi kt/N)
-    - Im(Z)_k sin(2pi kt/N)]`` for *arbitrary* (possibly non-Hermitian)
-    complex input — the same semantics as :func:`real_ifft`'s full complex
-    inverse, so masked spectra behave identically. This is the ISTFT/IMDCT
-    synthesis hot path (reference zaf.py:222-233) as a
-    ``(T, N) @ (N, N)`` GEMM pair.
+    Valid for *arbitrary* (possibly non-Hermitian) complex input — the same
+    semantics as :func:`real_ifft`'s full complex inverse, so masked spectra
+    behave identically: since ``real(IFFT(Z))`` is linear in Z and the
+    anti-Hermitian part of Z contributes only to ``imag(IFFT(Z))``, it
+    equals the inverse-rfft of the Hermitian fold
+    ``H_k = (Z_k + conj(Z_{(N-k) mod N})) / 2``, ``k = 0..N/2``. The fold is
+    one elementwise pass; the inverse then costs a ``(T, N/2+1) @ (N/2+1,
+    N)`` GEMM pair — half the MXU work of the full ``(T, N) @ (N, N)``
+    formulation. This is the ISTFT synthesis hot path (reference
+    zaf.py:222-233).
     """
     from zaftpu.core.policy import matmul_precision
 
     n = z.shape[-1]
+    half = n // 2 + 1
     rdtype = jnp.result_type(jnp.real(z), jnp.float32)
-    cos_m, sin_m = _direct_ridft_mats(n, np.dtype(rdtype).name)
+    cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name)
     hi = matmul_precision()
-    return (jnp.matmul(jnp.real(z), jnp.asarray(cos_m),
+    # conj(Z[(N-k) mod n]) for k = 0..N/2 — bins [0, N-1, ..., N-N/2].
+    zrev = jnp.concatenate([z[..., :1], z[..., :0:-1]], axis=-1)[..., :half]
+    h = 0.5 * (z[..., :half] + jnp.conj(zrev))
+    return (jnp.matmul(jnp.real(h), jnp.asarray(cos_m),
                        preferred_element_type=rdtype, precision=hi)
-            - jnp.matmul(jnp.imag(z), jnp.asarray(sin_m),
+            - jnp.matmul(jnp.imag(h), jnp.asarray(sin_m),
                          preferred_element_type=rdtype, precision=hi))
 
 

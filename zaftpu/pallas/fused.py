@@ -175,13 +175,14 @@ def _conv_apply(padded, window, ops, window_length: int, step: int,
 
 @lru_cache(maxsize=8)
 def _ridft_ola_filter(n: int):
-    """``(N, 2N, 1)`` transposed-conv filter for the synthesis back end:
-    ``filt[u, k] = cos_m[k, u]`` / ``-sin_m[k-N, u]`` — the inverse-DFT
-    GEMM pair of ``core.fft.direct_real_ifft`` and the overlap-add fold
-    into one ``lax.conv_transpose``."""
-    from zaftpu.core.fft import _direct_ridft_mats
+    """``(N, 2*(N/2+1), 1)`` transposed-conv filter for the synthesis back
+    end: ``filt[u, k] = cos_m[k, u]`` / ``-sin_m[k-half, u]`` — the
+    Hermitian-folded inverse-DFT GEMM pair of ``core.fft.direct_real_ifft``
+    and the overlap-add fold into one ``lax.conv_transpose`` (the caller
+    feeds the folded half-spectrum channels)."""
+    from zaftpu.core.fft import _direct_ridft_half_mats
 
-    cos_m, sin_m = _direct_ridft_mats(n, "float32")
+    cos_m, sin_m = _direct_ridft_half_mats(n, "float32")
     # conv_transpose(transpose_kernel=False) runs a fractionally-strided
     # *correlation*, so the spatial axis must be pre-reversed for the
     # scatter orientation out[r*step + u] += frames[r, u] (verified vs the
@@ -214,8 +215,14 @@ def conv_real_ifft_ola(spectra, step: int):
     from zaftpu.utils.devcache import pinned_device_constant
 
     n = spectra.shape[-1]
+    half = n // 2 + 1
     filt = pinned_device_constant(_ridft_ola_filter(n), np.float32)
-    comp = jnp.concatenate([jnp.real(spectra), jnp.imag(spectra)],
+    # Hermitian fold (see core.fft.direct_real_ifft): halves the conv's
+    # input channels and FLOPs while keeping arbitrary-spectrum semantics.
+    zrev = jnp.concatenate([spectra[..., :1], spectra[..., :0:-1]],
+                           axis=-1)[..., :half]
+    h = 0.5 * (spectra[..., :half] + jnp.conj(zrev))
+    comp = jnp.concatenate([jnp.real(h), jnp.imag(h)],
                            axis=-1).astype(jnp.float32)
     return _conv_ola(comp, filt, step, matmul_precision())
 
