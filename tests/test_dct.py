@@ -80,3 +80,27 @@ def test_invalid_type_raises(segment):
         dct(segment, 5)
     with pytest.raises(ValueError):
         dst(segment, 0)
+
+
+@pytest.mark.parametrize("fn,sfn", [(dct, scipy.fftpack.dct),
+                                    (dst, scipy.fftpack.dst)])
+@pytest.mark.parametrize("ttype", [1, 2, 3, 4])
+def test_direct_matrix_parity(monkeypatch, golden, fn, sfn, ttype):
+    """Under the matmul engine every type folds to one (N, N) GEMM — gate
+    the closed-form matrices against scipy at oracle tolerance, on an odd
+    length so no embedding symmetry can mask an index error."""
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    seg = golden["signal"][:777]
+    np.testing.assert_allclose(np.asarray(fn(seg, ttype)),
+                               sfn(seg, type=ttype, norm="ortho"), atol=2e-13)
+
+
+@pytest.mark.parametrize("fn", [dct, dst])
+@pytest.mark.parametrize("ttype", [1, 2, 3, 4])
+def test_direct_matches_fft_path(monkeypatch, segment, fn, ttype):
+    """Folded-GEMM and embedded-FFT formulations agree bit-tightly (the
+    same transform, two programs)."""
+    ref = np.asarray(fn(segment, ttype))
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    np.testing.assert_allclose(np.asarray(fn(segment, ttype)), ref,
+                               atol=1e-12)

@@ -23,7 +23,7 @@ tests/test_dct.py at float64 oracle tolerance.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,73 @@ import numpy as np
 from zaftpu.core import fft as _fft
 
 _SQRT2 = np.sqrt(2.0)
+
+
+@lru_cache(maxsize=32)
+def _direct_matrix(kind: str, transform_type: int, n: int) -> np.ndarray:
+    """The orthonormal DCT/DST as one ``(N, N)`` matrix (float64 host math).
+
+    Under the MXU matmul engine the zero-embedded-FFT formulation is
+    wasteful: the type II/III 4N embedding costs ~16x and the type IV 8N
+    embedding ~64x the FLOPs of applying the transform matrix directly
+    (``x @ M``). Closed forms of the same orthonormal transforms the
+    reference computes via FFTs (zaf.py:758-839 / 900-981); parity vs the
+    FFT path and scipy is gated in tests/test_dct.py. Types III are the
+    transposes of types II (orthogonal inverse pairs, zaf.py:872-876).
+    """
+    j = np.arange(n, dtype=np.float64)[:, None]  # input sample index
+    k = np.arange(n, dtype=np.float64)[None, :]  # output coefficient index
+    if kind == "dct":
+        if transform_type == 1:
+            s = np.ones(n)
+            s[0] = s[-1] = 1.0 / _SQRT2
+            return (np.sqrt(2.0 / (n - 1)) * (s[:, None] * s[None, :])
+                    * np.cos(np.pi * j * k / (n - 1)))
+        if transform_type == 2:
+            c = np.ones(n)
+            c[0] = 1.0 / _SQRT2
+            return (np.sqrt(2.0 / n) * c[None, :]
+                    * np.cos(np.pi * (2 * j + 1) * k / (2 * n)))
+        if transform_type == 3:
+            return np.ascontiguousarray(_direct_matrix("dct", 2, n).T)
+        return (np.sqrt(2.0 / n)
+                * np.cos(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n)))
+    if transform_type == 1:
+        return (np.sqrt(2.0 / (n + 1))
+                * np.sin(np.pi * (j + 1) * (k + 1) / (n + 1)))
+    if transform_type == 2:
+        d = np.ones(n)
+        d[-1] = 1.0 / _SQRT2
+        return (np.sqrt(2.0 / n) * d[None, :]
+                * np.sin(np.pi * (2 * j + 1) * (k + 1) / (2 * n)))
+    if transform_type == 3:
+        return np.ascontiguousarray(_direct_matrix("dst", 2, n).T)
+    return (np.sqrt(2.0 / n)
+            * np.sin(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n)))
+
+
+@jax.jit
+def _apply_direct(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
+    from zaftpu.core.policy import matmul_precision
+
+    return jnp.matmul(x, matrix.astype(x.dtype),
+                      preferred_element_type=x.dtype,
+                      precision=matmul_precision())
+
+
+def _direct_or_none(kind: str, transform_type: int, x: jnp.ndarray):
+    """Apply the folded ``(N, N)`` operator when the direct engine covers
+    this length (type-1 transforms need n >= 2 for their denominators,
+    which ``direct_engine_enabled`` already guarantees)."""
+    from zaftpu.utils.devcache import pinned_device_constant
+
+    n = x.shape[-1]
+    if not _fft.direct_engine_enabled(n):
+        return None
+    rdtype = np.float32 if x.dtype == jnp.float32 else np.float64
+    return _apply_direct(
+        x, pinned_device_constant(_direct_matrix(kind, transform_type, n),
+                                  rdtype))
 
 
 def _rescale(y, factor: float):
@@ -138,8 +205,13 @@ def dct(audio_signal, dct_type: int):
     """
     from zaftpu.core import validate as _validate
 
-    return _dct_core(_validate.check_signal(jnp.asarray(audio_signal)),
-                     int(dct_type))
+    x = _validate.check_signal(jnp.asarray(audio_signal))
+    if int(dct_type) not in (1, 2, 3, 4):
+        raise ValueError(f"dct_type must be 1..4, got {dct_type}")
+    direct = _direct_or_none("dct", int(dct_type), x)
+    if direct is not None:
+        return direct
+    return _dct_core(x, int(dct_type))
 
 
 def dst(audio_signal, dst_type: int):
@@ -150,5 +222,10 @@ def dst(audio_signal, dst_type: int):
     """
     from zaftpu.core import validate as _validate
 
-    return _dst_core(_validate.check_signal(jnp.asarray(audio_signal)),
-                     int(dst_type))
+    x = _validate.check_signal(jnp.asarray(audio_signal))
+    if int(dst_type) not in (1, 2, 3, 4):
+        raise ValueError(f"dst_type must be 1..4, got {dst_type}")
+    direct = _direct_or_none("dst", int(dst_type), x)
+    if direct is not None:
+        return direct
+    return _dst_core(x, int(dst_type))
