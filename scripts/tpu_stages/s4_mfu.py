@@ -1,11 +1,15 @@
 """Stage 4: MFU / roofline measurement on the real chip (VERDICT.md item 2).
 
-Times the 10-min STFT, 10-min MDCT, and the fused CQT warm on hardware, then
-converts frames/s into achieved HBM GB/s and MXU GFLOP/s against TPU v5e
-peaks (819 GB/s HBM, 197 TFLOP/s bf16, ~49 TFLOP/s f32). The byte models
-below are the *algorithmic* traffic a fused implementation must move; the
-achieved-% numbers therefore understate true HBM utilization if XLA spills
-intermediates. Prints ONE JSON line.
+Times the 10-min STFT/ISTFT, 10-min MDCT/IMDCT, and the fused CQT warm on
+hardware (dispatch-amortized, tunnel sync overhead subtracted — the s8
+harness pattern), then converts frames/s into achieved HBM GB/s and MXU
+GFLOP/s against TPU v5e peaks (819 GB/s HBM, 197 TFLOP/s bf16, ~49 TFLOP/s
+f32). Two FLOP models per transform: the FFT-algorithm model (what a
+textbook implementation would execute) and the engine model (the GEMM
+FLOPs the default ZAFTPU_FFT=auto dispatch actually runs — the deliberate
+FLOPs-for-bandwidth trade). The byte models are the *algorithmic* traffic a
+fused implementation must move; achieved-% understates true HBM utilization
+if XLA spills intermediates. Prints ONE JSON line.
 """
 
 import json
@@ -32,19 +36,43 @@ def stft_model(frames):
     Bytes (fused ideal): input read 2x (50% overlap) = WL*4; windowed frame
     write+read around the FFT = 2*WL*4; rfft half-spectrum write = (WL/2+1)*8;
     mirrored full-spectrum write = WL*8. FLOPs: rfft ~2.5*WL*log2(WL) + window.
+    Engine FLOPs: two (WL, WL/2+1) DFT GEMMs per frame.
     """
     bytes_per = WL * 4 + 2 * WL * 4 + (WL // 2 + 1) * 8 + WL * 8
     flops_per = 2.5 * WL * np.log2(WL) + WL
-    return frames * bytes_per, frames * flops_per
+    engine_per = 2 * 2 * WL * (WL // 2 + 1)
+    return frames * bytes_per, frames * flops_per, frames * engine_per
+
+
+def istft_model(frames):
+    """ISTFT: full-spectrum read = WL*8; Hermitian fold write+read =
+    2*(WL/2+1)*8; frames write+read around OLA = 2*WL*4; signal out = STEP*4.
+    FLOPs: ifft + OLA adds. Engine: two (WL/2+1, WL) folded inverse GEMMs."""
+    bytes_per = WL * 8 + 2 * (WL // 2 + 1) * 8 + 2 * WL * 4 + STEP * 4
+    flops_per = 2.5 * WL * np.log2(WL) + 2 * WL
+    engine_per = 2 * 2 * (WL // 2 + 1) * WL
+    return frames * bytes_per, frames * flops_per, frames * engine_per
 
 
 def mdct_model(frames):
     """MDCT WL=2048 (hop WL/2): input read 2x = WL*4; complex pre-twiddled
     frame write+read = 2*WL*8; rfft half write = (WL/2+1)*8; coeff out =
-    (WL/2)*4. FLOPs: rfft + complex pre/post twiddles (6 flops per cmul)."""
+    (WL/2)*4. FLOPs: rfft + complex pre/post twiddles (6 flops per cmul).
+    Engine: one folded (WL, WL/2) GEMM per frame."""
     bytes_per = WL * 4 + 2 * WL * 8 + (WL // 2 + 1) * 8 + (WL // 2) * 4
     flops_per = 2.5 * WL * np.log2(WL) + 6 * WL + 6 * (WL // 2)
-    return frames * bytes_per, frames * flops_per
+    engine_per = 2 * WL * (WL // 2)
+    return frames * bytes_per, frames * flops_per, frames * engine_per
+
+
+def imdct_model(frames):
+    """IMDCT: coeff read = (WL/2)*4; frames write+read around OLA = 2*WL*4;
+    signal out = (WL/2)*4. FLOPs: padded ifft + twiddles + window + OLA.
+    Engine: one folded (WL/2, WL) GEMM per frame."""
+    bytes_per = (WL // 2) * 4 + 2 * WL * 4 + (WL // 2) * 4
+    flops_per = 2.5 * WL * np.log2(WL) + 6 * WL + 3 * WL
+    engine_per = 2 * (WL // 2) * WL
+    return frames * bytes_per, frames * flops_per, frames * engine_per
 
 
 def cqt_model(frames, block=128):
@@ -55,7 +83,7 @@ def cqt_model(frames, block=128):
     kernel_bytes = 2 * CQT_L * CQT_F * 4 * (frames / block)
     bytes_per = frames * CQT_L * 4 + kernel_bytes + frames * CQT_F * 4
     flops = frames * 2 * 2 * CQT_L * CQT_F
-    return bytes_per, flops
+    return bytes_per, flops, flops  # the kernel matmul IS the engine path
 
 
 def main():
@@ -82,20 +110,30 @@ def main():
 
     def measure(name, fn, frames, model):
         try:
+            # Dispatch-amortized, sync-overhead-subtracted (the s8 pattern):
+            # back-to-back dispatches, one dependent fetch, minus the cost of
+            # a device-idle fetch; min over blocks drops transient stalls.
             fetch_sync(fn())  # warm/compile
-            t0 = time.perf_counter()
+            sec = float("inf")
             for _ in range(3):
-                r = fn()
-            fetch_sync(r)
-            sec = (time.perf_counter() - t0) / 3
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    r = fn()
+                fetch_sync(r)
+                dt = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                fetch_sync(r)
+                sync_s = time.perf_counter() - t1
+                sec = min(sec, max(dt - sync_s, 1e-9) / 8)
         except Exception as exc:  # keep other measurements; retry next session
             out["ok"] = False
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             log(f"{name}: FAILED ({type(exc).__name__}) — continuing")
             return
-        mbytes, mflops = model(frames)
+        mbytes, mflops, meng = model(frames)
         gbs = mbytes / sec / 1e9
         gflops = mflops / sec / 1e9
+        geng = meng / sec / 1e9
         out[name] = {
             "seconds": round(sec, 4),
             "frames_per_s": round(frames / sec, 1),
@@ -103,16 +141,25 @@ def main():
             "pct_hbm_peak": round(100 * gbs / HBM_PEAK_GBS, 1),
             "achieved_gflops": round(gflops, 1),
             "pct_f32_peak": round(100 * gflops / F32_PEAK_GFLOPS, 2),
+            "engine_gflops": round(geng, 1),
+            "pct_f32_peak_engine": round(100 * geng / F32_PEAK_GFLOPS, 2),
         }
         log(f"{name}: {sec:.3f}s  {frames / sec:,.0f} fr/s  "
             f"{gbs:.0f} GB/s ({100 * gbs / HBM_PEAK_GBS:.0f}% HBM)  "
-            f"{gflops:.0f} GFLOP/s ({100 * gflops / F32_PEAK_GFLOPS:.1f}% f32)")
+            f"{geng:.0f} engine GFLOP/s "
+            f"({100 * geng / F32_PEAK_GFLOPS:.1f}% f32)")
 
     t_frames = stft_padding(SR * secs, WL, STEP)[2]
     measure("stft_10min", lambda: zaftpu.stft(x, win, STEP), t_frames,
             stft_model)
+    spec = zaftpu.stft(x, win, STEP)
+    measure("istft_10min", lambda: zaftpu.istft(spec, win, STEP), t_frames,
+            istft_model)
     m_frames = SR * secs // STEP + 1
     measure("mdct_10min", lambda: zaftpu.mdct(x, tdac), m_frames, mdct_model)
+    coeffs = zaftpu.mdct(x, tdac)
+    measure("imdct_10min", lambda: zaftpu.imdct(coeffs, tdac), m_frames,
+            imdct_model)
 
     kern = zaftpu.cqtkernel(SR, 24, 55.0, 3520.0)
     cqt_secs = 120
@@ -121,11 +168,14 @@ def main():
     measure("cqt_2min", lambda: zaftpu.cqtspectrogram(xc, SR, 25, kern),
             c_frames, cqt_model)
 
-    # Binding-resource verdicts for docs/perf.md
-    for name in ("stft_10min", "mdct_10min", "cqt_2min"):
+    # Binding-resource verdicts for docs/perf.md (engine FLOPs are what the
+    # default dispatch actually executes on the MXU)
+    for name in ("stft_10min", "istft_10min", "mdct_10min", "imdct_10min",
+                 "cqt_2min"):
         r = out[name]
         if "pct_hbm_peak" in r:
-            r["binding"] = ("HBM" if r["pct_hbm_peak"] >= r["pct_f32_peak"]
+            r["binding"] = ("HBM"
+                            if r["pct_hbm_peak"] >= r["pct_f32_peak_engine"]
                             else "MXU")
     print(json.dumps(out))
     return 0
