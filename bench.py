@@ -330,6 +330,11 @@ def _supervise():
     the native-FFT rung was still failing). Falls back to host CPU (the
     baseline is also a CPU measurement) only when no TPU rung succeeds."""
     budget = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    # Outer deadline: callers run the whole supervisor under their own
+    # timeout (the watcher gives 1500 s); if the ladder would outlive it we
+    # must stop launching rungs and print the best-so-far, or a kill
+    # mid-ladder discards every completed measurement.
+    deadline = time.monotonic() + int(os.environ.get("BENCH_DEADLINE", "1350"))
     ladder = [
         # Default dispatch first: ZAFTPU_FFT=auto selects the matmul engine
         # on TPU (docs/tpu_results/stft_engines.json), Pallas framing on.
@@ -348,6 +353,12 @@ def _supervise():
     for label, extra, timeout_s in ladder:
         if tpu_dead:
             continue
+        remaining = deadline - time.monotonic()
+        if results and remaining < timeout_s * 0.5:
+            log(f"deadline approaching ({remaining:.0f}s left) — "
+                f"reporting best of {len(results)} completed rungs")
+            break
+        timeout_s = max(120, min(timeout_s, int(remaining)))
         if not _probe_tpu(extra):
             log(f"skipping remaining TPU rungs (probe failed before {label})")
             tpu_dead = True
