@@ -344,9 +344,10 @@ def _supervise():
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_STFT": "conv"}, budget),
         ("TPU (native FFT)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "native"}, budget),
-        ("TPU (matmul FFT, 3-pass)",
-         {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "matmul",
-          "ZAFTPU_PRECISION": "high"}, budget),
+        # (The 3-pass ZAFTPU_PRECISION=high rung is deliberately absent: its
+        # round trip measures 94.9 dB on hardware — below this benchmark's
+        # own 96 dB accuracy floor, so it can never be the reported rung.
+        # The A/B numbers live in docs/tpu_results/stft_engines.json.)
     ]
     results = []
     tpu_dead = False
