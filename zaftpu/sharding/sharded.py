@@ -525,7 +525,7 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
         # Zero-extend so the last lax.map block can slice a full segment
         # (surplus frames are discarded by the impl's [:t_local] slice).
         blocks = -(-t_local // b)
-        needed = (blocks * b - 1) * step_length + fft_length
+        needed = _cqt._blocked_needed(blocks * b, step_length, fft_length)
         extended = _pad_last(extended, 0,
                              max(0, needed - extended.shape[-1]))
         return _cqt._batched_1d(_cqt._blocked_matmul_impl)(
@@ -630,7 +630,7 @@ def cqtspectrogram_tp(audio_signal, sampling_frequency, time_resolution,
     block = min(_cqt._BLOCK_FRAMES, max(1, t))
     t_pad = block * (-(-t // block))
     body_len = max(pad_front + n,
-                   (t_pad - 1) * step + fft_length)
+                   _cqt._blocked_needed(t_pad, step, fft_length))
     out = _cqt_tp_core(audio_signal, m_real, m_imag, step, fft_length,
                        mesh, axis_name, (pad_front, body_len, t_pad), block)
     return out[..., :n_freq, :t]

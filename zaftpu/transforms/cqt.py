@@ -270,20 +270,43 @@ def _batched_1d(impl):
     return wrapper
 
 
+def _blocked_needed(total_frames: int, step_length: int,
+                    fft_length: int) -> int:
+    """Padded samples the blocked-matmul body reads: every slab slice spans
+    ``block * step`` samples, so coverage rounds ``fft_length`` up to whole
+    hops (``dynamic_slice`` would otherwise clamp at the buffer end and
+    silently shift the last slab)."""
+    n_slabs = -(-fft_length // step_length)
+    return (total_frames - 1) * step_length + n_slabs * step_length
+
+
 def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
                          number_times, block_frames):
-    """Blocked fused time-domain CQT body (also reused inside shard_map)."""
+    """Blocked fused time-domain CQT body (also reused inside shard_map).
+
+    Frames are never materialized: the ``(fft_length, F)`` operator is
+    decomposed into hop-width slabs ``M[k*step:(k+1)*step]`` and each block
+    accumulates ``sum_k reshape(signal-slab_k) @ M_k`` where every signal
+    slab is a *contiguous* ``(B, step)`` reshape of the padded signal —
+    replacing the per-frame overlapped gather (hop 1764 is unaligned, and
+    the gathered ``(B, fft_length)`` frame matrix is ~19x the signal's
+    bytes; measured gather-bound on hardware: block-size and bf16 sweeps
+    were flat, docs/tpu_results/cqt_tune.json)."""
     blocks = -(-number_times // block_frames)
-    starts = np.arange(block_frames) * step_length
-    seg_len = (block_frames - 1) * step_length + fft_length
+    n_slabs = -(-fft_length // step_length)
+    bs = block_frames * step_length
 
     def one_block(b):
-        seg = jax.lax.dynamic_slice(
-            padded, (b * block_frames * step_length,), (seg_len,))
-        frames = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(seg, (s,), (fft_length,)))(starts)
-        re = _policy.mxu_matmul(frames, m_real)
-        im = _policy.mxu_matmul(frames, m_imag)
+        base = b * bs
+        re = im = 0.0
+        for k in range(n_slabs):
+            lo = k * step_length
+            width = min(step_length, fft_length - lo)
+            slab = jax.lax.dynamic_slice(
+                padded, (base + lo,), (bs,)).reshape(block_frames,
+                                                     step_length)[:, :width]
+            re = re + _policy.mxu_matmul(slab, m_real[lo:lo + width])
+            im = im + _policy.mxu_matmul(slab, m_imag[lo:lo + width])
         return jnp.sqrt(re * re + im * im)             # (B, F)
 
     out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
@@ -437,7 +460,7 @@ def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
     pad_back = int(np.floor((fft_length - step) / 2))
     # Extra zeros so the last lax.map block can always slice a full segment.
     blocks = -(-number_times // _BLOCK_FRAMES)
-    needed = ((blocks * _BLOCK_FRAMES - 1) * step + fft_length)
+    needed = _blocked_needed(blocks * _BLOCK_FRAMES, step, fft_length)
     have = int(audio_signal.shape[-1]) + pad_front + pad_back
     pads = (pad_front, pad_back + max(0, needed - have))
 
