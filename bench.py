@@ -87,20 +87,28 @@ def timed_chunks(fn, inputs, reps=3):
                 raise
             log(f"warmup attempt {attempt + 1} failed ({exc}); retrying")
             time.sleep(10)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        # Keep only the latest outputs referenced so earlier passes' buffers
-        # free as soon as their computations finish.
-        outs = [fn(x) for x in inputs]
-    sync(outs[-1])
-    total = time.perf_counter() - t0
-    # The trailing dependent fetch costs ~0.2-0.5 s through the tunnel; with
-    # the device now idle, a second fetch measures that pure overhead so it
-    # can be excluded from the compute time.
-    t1 = time.perf_counter()
-    sync(outs[-1])
-    total -= min(time.perf_counter() - t1, total * 0.5)
-    return total / reps, outs
+    def passes(n):
+        nonlocal outs
+        t0 = time.perf_counter()
+        for _ in range(n):
+            # Keep only the latest outputs referenced so earlier passes'
+            # buffers free as soon as their computations finish.
+            outs = [fn(x) for x in inputs]
+        sync(outs[-1])
+        total = time.perf_counter() - t0
+        # The trailing dependent fetch costs ~0.2-0.5 s through the tunnel;
+        # with the device now idle, a second fetch measures that pure
+        # overhead so it can be excluded from the compute time.
+        t1 = time.perf_counter()
+        sync(outs[-1])
+        total -= min(time.perf_counter() - t1, total * 0.5)
+        return total / n
+    # Coarse pass sizes the rep count for ~2 s of device work: below that
+    # the tunnel round-trip's ~10 ms jitter dominates fast transforms (the
+    # hour-scale MDCT is ~15 ms/pass).
+    coarse = passes(reps)
+    n = int(min(64, max(reps, round(2.0 / max(coarse * reps, 1e-6)) * reps)))
+    return passes(n) if n > reps else coarse, outs
 
 
 def pick_chunk_seconds():

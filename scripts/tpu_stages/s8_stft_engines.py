@@ -24,15 +24,25 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _timed(fn, fetch_sync, reps=12, blocks=3):
-    """Per-call seconds: ``reps`` back-to-back dispatches, one dependent
-    fetch, minus the measured cost of a second (no-pending-work) fetch —
-    the tunnel's sync/fetch overhead is ~0.2-0.5 s and would otherwise
-    dominate sub-20 ms calls (the source of the wildly noisy 10-min MDCT
-    numbers observed 2026-08-17). Min over ``blocks`` drops transient
-    tunnel stalls. Returns ``(seconds_per_call, last_output)``."""
+def _timed(fn, fetch_sync, blocks=3):
+    """Per-call seconds: back-to-back dispatches, one dependent fetch, minus
+    the measured cost of a second (no-pending-work) fetch — the tunnel's
+    sync/fetch overhead is ~0.2-0.5 s and would otherwise dominate sub-20 ms
+    calls (the source of the wildly noisy 10-min MDCT numbers observed
+    2026-08-17). A coarse pass sizes the rep count for ~2 s of device work
+    per timed block so the round-trip's ~10 ms jitter stays <1% of signal.
+    Min over ``blocks`` drops transient tunnel stalls. Returns
+    ``(seconds_per_call, last_output)``."""
     out = fn()
     fetch_sync(out)  # warm / compile
+    t0 = time.perf_counter()
+    for _ in range(8):
+        out = fn()
+    fetch_sync(out)
+    t1 = time.perf_counter()
+    fetch_sync(out)
+    coarse = max((t1 - t0 - (time.perf_counter() - t1)) / 8, 1e-5)
+    reps = int(min(1024, max(8, round(2.0 / coarse))))
     best = float("inf")
     for _ in range(blocks):
         t0 = time.perf_counter()

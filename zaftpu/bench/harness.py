@@ -36,11 +36,17 @@ def run_transform_suite(seconds: float = 60.0, reps: int = 3,
     import jax
     import jax.numpy as jnp
 
+    target_s = None
     if dispatches is None:
         # Remote-tunnel backends need amortization over back-to-back
         # dispatches so the ~0.2-0.5 s per-sync overhead doesn't swamp
         # millisecond device programs; locally one dispatch per rep is exact.
-        dispatches = 12 if jax.default_backend() == "tpu" else 1
+        # target_s auto-sizes the dispatch count so each timed block holds
+        # ~2 s of device work — below that the round-trip's ~10 ms jitter
+        # dominates millisecond programs (profiling.timed docstring).
+        on_tpu = jax.default_backend() == "tpu"
+        dispatches = 12 if on_tpu else 1
+        target_s = 2.0 if on_tpu else None
 
     import zaftpu
     from zaftpu.core.windows import hamming, vorbis
@@ -61,7 +67,7 @@ def run_transform_suite(seconds: float = 60.0, reps: int = 3,
 
     def bench(name, fn, frames, *args):
         _, stats = timed(name, fn, *args, frames=frames, reps=reps, log=False,
-                         dispatches=dispatches)
+                         dispatches=dispatches, target_s=target_s)
         rows.append({"transform": name, "seconds": round(stats.seconds, 4),
                      "frames_per_sec": round(stats.frames_per_second, 1)})
         return _

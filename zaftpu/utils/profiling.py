@@ -96,36 +96,54 @@ def _block(x):
             _block(v)
 
 
+def _timed_block(name: str, fn, args, dispatches: int):
+    """One timed block: ``dispatches`` back-to-back calls, one dependent
+    fetch, minus the measured idle-device cost of a second fetch. Returns
+    ``(result, seconds_per_call)``."""
+    start = time.perf_counter()
+    with annotate(name):
+        for _ in range(dispatches):
+            result = fn(*args)
+        _block(result)
+    elapsed = time.perf_counter() - start
+    t1 = time.perf_counter()
+    _block(result)  # device now idle: pure sync/fetch overhead
+    sync_s = time.perf_counter() - t1
+    # Cap the subtraction so a stalled second fetch can't produce a
+    # nonsensically fast (or negative) figure.
+    elapsed = max(elapsed - min(sync_s, elapsed * 0.5), 1e-9)
+    return result, elapsed / dispatches
+
+
 def timed(name: str, fn, *args, frames: int | None = None, reps: int = 1,
-          warmup: bool = True, log: bool = True, dispatches: int = 1):
+          warmup: bool = True, log: bool = True, dispatches: int = 1,
+          target_s: float | None = None):
     """Run ``fn(*args)`` on device, blocking, best-of-``reps`` timing.
 
     ``dispatches`` > 1 issues that many back-to-back calls per rep with ONE
     trailing dependent fetch, then subtracts the measured idle-device cost
     of that fetch — through a remote-device tunnel the per-sync overhead is
     ~0.2-0.5 s and would otherwise swamp millisecond-scale device programs.
-    Reported seconds are per call. Returns ``(result, TransformStats)``;
-    logs at INFO when ``log``.
+    ``target_s`` additionally auto-sizes the dispatch count from a coarse
+    first block so every timed block holds about that much device work —
+    without it, a fixed dispatch count leaves millisecond programs under the
+    round-trip's ~10 ms *jitter* and the min-over-reps picks up the noise
+    (observed as impossible >100%-of-peak rooflines). Reported seconds are
+    per call. Returns ``(result, TransformStats)``; logs at INFO when
+    ``log``.
     """
     dispatches = max(1, dispatches)
     if warmup:
         _block(fn(*args))
+    if target_s is not None:
+        _, coarse = _timed_block(name, fn, args, dispatches)
+        dispatches = int(min(1024, max(dispatches,
+                                       round(target_s / max(coarse, 1e-6)))))
     best = float("inf")
     result = None
     for _ in range(max(1, reps)):
-        start = time.perf_counter()
-        with annotate(name):
-            for _ in range(dispatches):
-                result = fn(*args)
-            _block(result)
-        elapsed = time.perf_counter() - start
-        t1 = time.perf_counter()
-        _block(result)  # device now idle: pure sync/fetch overhead
-        sync_s = time.perf_counter() - t1
-        # Cap the subtraction so a stalled second fetch can't produce a
-        # nonsensically fast (or negative) figure.
-        elapsed = max(elapsed - min(sync_s, elapsed * 0.5), 1e-9)
-        best = min(best, elapsed / dispatches)
+        result, per_call = _timed_block(name, fn, args, dispatches)
+        best = min(best, per_call)
     stats = TransformStats(name=name, seconds=best, frames=frames)
     if log:
         logger.info("%s", stats)
