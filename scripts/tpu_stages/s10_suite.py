@@ -28,8 +28,11 @@ def run_arm(extra_env):
         except json.JSONDecodeError:
             continue
     backend = "tpu" if "backend: tpu" in proc.stderr else "unknown"
-    return {"ok": proc.returncode == 0 and len(rows) >= 10
-                  and backend == "tpu",
+    # Per-arm status is "arm_ok", not "ok": the watcher's rerun check greps
+    # the whole result file for '"ok": false', and the informational conv
+    # arm failing must not force an endless rerun of the default sweep.
+    return {"arm_ok": proc.returncode == 0 and len(rows) >= 10
+                      and backend == "tpu",
             "backend": backend,
             "transforms": {r["transform"]: r["frames_per_sec"]
                            for r in rows if "transform" in r}}
@@ -39,7 +42,7 @@ def main():
     arms = {"default": run_arm({}),
             "conv": run_arm({"ZAFTPU_STFT": "conv"})}
     # conv is informational; the default column gates rerun.
-    print(json.dumps({"ok": arms["default"]["ok"], "arms": arms}))
+    print(json.dumps({"ok": arms["default"]["arm_ok"], "arms": arms}))
     return 0
 
 
