@@ -17,6 +17,24 @@ def test_timed_reports_stats(signal, hamming_window):
     assert "stft" in str(stats)
 
 
+def test_timed_target_s_scales_dispatches(signal, hamming_window):
+    """target_s sizes the dispatch count from a coarse block: a fast program
+    with a generous target must run many back-to-back dispatches per block
+    (the jitter fix for millisecond programs under a ~10 ms-noise sync)."""
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return zaftpu.stft(signal[:4096], hamming_window, 1024)
+
+    _, stats = timed("stft-fast", fn, frames=5, reps=1, log=False,
+                     dispatches=2, target_s=0.05)
+    # warmup(1) + coarse block(2) + one timed block of >=2 dispatches; for a
+    # sub-ms program and a 50 ms target the sized block is far larger.
+    assert len(calls) >= 3 + 2
+    assert stats.seconds > 0
+
+
 def test_transform_stats_str_without_frames():
     s = TransformStats("x", 0.5)
     assert s.frames_per_second is None
