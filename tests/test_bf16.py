@@ -176,3 +176,89 @@ def test_precision_lever(monkeypatch):
     monkeypatch.setenv("ZAFTPU_PRECISION", "bogus")
     with pytest.raises(ValueError):
         policy.matmul_precision()
+
+
+def test_split4_maps_to_highest_for_non_gemm_sites(monkeypatch):
+    """Sites that cannot run the manual 4-pass scheme (complex stages, conv
+    formulations) must keep full accuracy under ZAFTPU_PRECISION=split4."""
+    import jax
+
+    from zaftpu.core import policy
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    assert policy.matmul_precision() == jax.lax.Precision.HIGHEST
+    assert policy.split4_enabled()
+
+
+def test_split4_matmul_accuracy_and_pass_count():
+    """The 4-pass bf16-split GEMM: ~104 dB vs the f64 product (XLA HIGH's
+    3-pass scheme caps at ~95 dB by dropping lo@lo), exactly four
+    dot_generals in the jaxpr."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import policy
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((64, 256)).astype(np.float32)
+    b = rng.standard_normal((256, 128)).astype(np.float32)
+    got = np.asarray(policy._split4_matmul(jnp.asarray(a), jnp.asarray(b)))
+    ref = a.astype(np.float64) @ b.astype(np.float64)
+    assert _snr(ref, got) > 100.0
+    jaxpr = jax.make_jaxpr(policy._split4_matmul)(jnp.asarray(a),
+                                                  jnp.asarray(b))
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert len(dots) == 4
+
+
+def test_split4_transform_roundtrips(monkeypatch, x32):
+    """End-to-end under ZAFTPU_PRECISION=split4 + the GEMM engine: STFT and
+    MDCT round trips must clear the 16-bit-audio 96 dB gate (measured ~108
+    dB on CPU's exact bf16 emulation; HIGH measures 94.9 dB on hardware).
+    The dial is read at trace time, so caches are cleared around the
+    toggle."""
+    import jax
+
+    from zaftpu.core.windows import vorbis
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    jax.clear_caches()
+    try:
+        win = hamming(WL).astype(np.float32)
+        rec = np.asarray(zaftpu.istft(zaftpu.stft(x32, win, STEP), win, STEP))
+        n = min(len(rec), len(x32))
+        assert 100.0 < _snr(x32[:n], rec[:n]) < 125.0  # split4, not HIGHEST
+        tdac = vorbis(WL).astype(np.float32)
+        rec2 = np.asarray(zaftpu.imdct(zaftpu.mdct(x32, tdac), tdac))
+        n2 = min(len(rec2), len(x32))
+        assert 100.0 < _snr(x32[:n2], rec2[:n2]) < 125.0
+    finally:
+        jax.clear_caches()  # drop split4 traces so later tests retrace
+
+
+def test_split4_sharded_equivalence(monkeypatch, x32):
+    """Sharded transforms must stay value-identical to single-device under
+    split4 (same real_matmul scheme inside shard_map)."""
+    import jax
+
+    from zaftpu.sharding import make_mesh, stft_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    jax.clear_caches()
+    try:
+        win = hamming(WL).astype(np.float32)
+        ref = np.asarray(zaftpu.stft(x32, win, STEP))
+        out = np.asarray(stft_sharded(x32, win, STEP, make_mesh(4)))
+        # Same split4 scheme on both sides; the residual is f32
+        # accumulation-order noise from the shards' smaller GEMM M (measured
+        # 134.7 dB). A sharded path that silently stayed HIGHEST would land
+        # at ~113 dB vs the split4 reference — gate above that.
+        num = np.sum(np.abs(ref) ** 2)
+        den = np.sum(np.abs(ref - out) ** 2)
+        assert 10.0 * np.log10(num / den) > 125.0
+    finally:
+        jax.clear_caches()

@@ -211,11 +211,11 @@ def matmul_fft(x: jnp.ndarray) -> jnp.ndarray:
         ar = a.astype(rdtype)
         import jax
 
+        from zaftpu.core.policy import real_matmul
+
         b = jax.lax.complex(
-            jnp.matmul(ar, jnp.asarray(w2.real.astype(rdtype)),
-                       preferred_element_type=rdtype, precision=hi),
-            jnp.matmul(ar, jnp.asarray(w2.imag.astype(rdtype)),
-                       preferred_element_type=rdtype, precision=hi))
+            real_matmul(ar, jnp.asarray(w2.real.astype(rdtype))),
+            real_matmul(ar, jnp.asarray(w2.imag.astype(rdtype))))
     b = b * const_c(twiddle)
     c = jnp.einsum("nk,...nm->...km", const_c(w1), b, precision=hi)
     return c.reshape(*x.shape[:-1], n)
@@ -307,18 +307,15 @@ def direct_rfft(x: jnp.ndarray) -> jnp.ndarray:
     """
     import jax
 
-    from zaftpu.core.policy import matmul_precision
+    from zaftpu.core.policy import real_matmul
 
     n = x.shape[-1]
     rdtype = jnp.result_type(x, jnp.float32)
     cos_m, sin_m = _direct_rdft_mats(n, np.dtype(rdtype).name)
-    hi = matmul_precision()
     xr = x.astype(rdtype)
     return jax.lax.complex(
-        jnp.matmul(xr, jnp.asarray(cos_m), preferred_element_type=rdtype,
-                   precision=hi),
-        jnp.matmul(xr, jnp.asarray(sin_m), preferred_element_type=rdtype,
-                   precision=hi))
+        real_matmul(xr, jnp.asarray(cos_m)),
+        real_matmul(xr, jnp.asarray(sin_m)))
 
 
 def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
@@ -335,20 +332,17 @@ def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
     formulation. This is the ISTFT synthesis hot path (reference
     zaf.py:222-233).
     """
-    from zaftpu.core.policy import matmul_precision
+    from zaftpu.core.policy import real_matmul
 
     n = z.shape[-1]
     half = n // 2 + 1
     rdtype = jnp.result_type(jnp.real(z), jnp.float32)
     cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name)
-    hi = matmul_precision()
     # conj(Z[(N-k) mod n]) for k = 0..N/2 — bins [0, N-1, ..., N-N/2].
     zrev = jnp.concatenate([z[..., :1], z[..., :0:-1]], axis=-1)[..., :half]
     h = 0.5 * (z[..., :half] + jnp.conj(zrev))
-    return (jnp.matmul(jnp.real(h), jnp.asarray(cos_m),
-                       preferred_element_type=rdtype, precision=hi)
-            - jnp.matmul(jnp.imag(h), jnp.asarray(sin_m),
-                         preferred_element_type=rdtype, precision=hi))
+    return (real_matmul(jnp.real(h), jnp.asarray(cos_m))
+            - real_matmul(jnp.imag(h), jnp.asarray(sin_m)))
 
 
 def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:

@@ -79,20 +79,86 @@ def matmul_precision():
     """XLA precision for exact-path (non-bf16) operator matmuls.
 
     ``ZAFTPU_PRECISION``: ``highest`` (default — 6-pass bf16 decomposition,
-    true f32 products), ``high`` (3 passes, ~f32 for audio-range data), or
-    ``default`` (XLA's single bf16 pass — only meaningful for A/B
-    measurement, as it makes f32 matmuls bf16-accurate on TPU).
+    true f32 products), ``split4`` (manual 4-pass scheme, ~104 dB vs f64 at
+    2/3 the MXU cost — see :func:`real_matmul`; non-GEMM sites fall back to
+    HIGHEST), ``high`` (3 passes, ~f32 for audio-range data), or ``default``
+    (XLA's single bf16 pass — only meaningful for A/B measurement, as it
+    makes f32 matmuls bf16-accurate on TPU).
     """
     import jax
 
     env = os.environ.get("ZAFTPU_PRECISION", "highest").lower()
     table = {"default": jax.lax.Precision.DEFAULT,
              "high": jax.lax.Precision.HIGH,
-             "highest": jax.lax.Precision.HIGHEST}
+             "highest": jax.lax.Precision.HIGHEST,
+             # Sites that cannot run the manual scheme (complex-operand
+             # stages, conv formulations) keep full accuracy instead.
+             "split4": jax.lax.Precision.HIGHEST}
     if env not in table:
         raise ValueError(
-            f"ZAFTPU_PRECISION must be default/high/highest, got {env!r}")
+            f"ZAFTPU_PRECISION must be default/high/highest/split4, "
+            f"got {env!r}")
     return table[env]
+
+
+def split4_enabled() -> bool:
+    """True when ``ZAFTPU_PRECISION=split4`` selects the manual 4-pass
+    bf16-split GEMM for real f32 operator matmuls."""
+    return os.environ.get("ZAFTPU_PRECISION", "highest").lower() == "split4"
+
+
+def _split4_matmul(a, b):
+    """``a @ b`` as four single-pass bf16 MXU GEMMs with f32 accumulation.
+
+    Each f32 operand splits exactly into a bf16 pair ``x = hi + lo + eps``
+    (``hi = bf16(x)``, ``lo = bf16(x - hi)``, ``|eps| ~ 2^-17 |x|``); the
+    product expands to four bf16 x bf16 terms, ALL kept — XLA's
+    ``Precision.HIGH`` is the same idea but drops ``lo @ lo``, which is what
+    caps it at ~95 dB (measured 94.9 dB round trip, just under the 96 dB
+    16-bit-audio gate; docs/tpu_results/stft_engines.json). Keeping the
+    fourth term leaves only the ``eps`` truncation: ~104 dB predicted, at 4
+    MXU passes vs HIGHEST's 6 (1.5x GEMM throughput). Terms accumulate
+    smallest-first in f32.
+    """
+    import jax
+
+    f32 = jnp.float32
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    # The split MUST go through lax.reduce_precision: a plain
+    # f32->bf16->f32 cast round trip is elided by XLA's excess-precision
+    # rule on TPU, which zeroes the lo terms and silently collapses the
+    # whole scheme to one bf16 pass (measured 52.6 dB vs 109.2 dB with
+    # reduce_precision on the v5e chip).
+    ahf = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
+    bhf = jax.lax.reduce_precision(b, exponent_bits=8, mantissa_bits=7)
+    ah = ahf.astype(jnp.bfloat16)
+    al = (a - ahf).astype(jnp.bfloat16)
+    bh = bhf.astype(jnp.bfloat16)
+    bl = (b - bhf).astype(jnp.bfloat16)
+    if jax.default_backend() == "tpu":
+        def mm(x, y):
+            return jnp.matmul(x, y, preferred_element_type=f32)
+    else:
+        # CPU XLA has no BF16 x BF16 -> F32 dot thunk; the bf16 -> f32 casts
+        # are exact, so an f32 dot of the rounded operands computes the same
+        # products the MXU single pass would.
+        def mm(x, y):
+            return jnp.matmul(x.astype(f32), y.astype(f32))
+    return ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
+
+
+def real_matmul(a, b):
+    """Real-operand exact-path GEMM honoring the precision dial.
+
+    Under ``ZAFTPU_PRECISION=split4`` (f32 operands only — the f64 oracle
+    path never lowers) runs :func:`_split4_matmul`; otherwise a plain matmul
+    at :func:`matmul_precision`.
+    """
+    if (split4_enabled() and a.dtype == jnp.float32
+            and jnp.dtype(b.dtype) == jnp.float32):
+        return _split4_matmul(a, b)
+    return jnp.matmul(a, b, preferred_element_type=a.dtype,
+                      precision=matmul_precision())
 
 
 def mxu_matmul(a, b):
@@ -126,5 +192,7 @@ def mxu_matmul(a, b):
                              preferred_element_type=jnp.float32)
         out = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
         return acc.astype(out)
+    if not jnp.issubdtype(a.dtype, jnp.complexfloating):
+        return real_matmul(a, jnp.asarray(b).astype(a.dtype))
     return jnp.matmul(a, b.astype(a.dtype), preferred_element_type=a.dtype,
                       precision=matmul_precision())

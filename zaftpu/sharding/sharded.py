@@ -382,9 +382,7 @@ def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
 
     def frame_fn(frames):
         frames = frames * window_function.astype(frames.dtype)
-        return jnp.matmul(frames, matrix.astype(frames.dtype),
-                          preferred_element_type=frames.dtype,
-                          precision=_policy.matmul_precision())
+        return _policy.real_matmul(frames, matrix.astype(frames.dtype))
 
     coeffs = _sharded_analysis(body, wl, step, frame_fn, mesh, axis_name)
     return jnp.swapaxes(coeffs, -1, -2)
@@ -462,9 +460,7 @@ def _imdct_core_sharded_direct(audio_mdct, window_function, matrix, mesh,
     under ``ZAFTPU_FFT=matmul``."""
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)
-    frames = jnp.matmul(coeffs, matrix.astype(coeffs.dtype),
-                        preferred_element_type=coeffs.dtype,
-                        precision=_policy.matmul_precision())
+    frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
     frames = frames * window_function.astype(frames.dtype)
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
     return body[..., f:]

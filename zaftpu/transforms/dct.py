@@ -79,11 +79,9 @@ def _direct_matrix(kind: str, transform_type: int, n: int) -> np.ndarray:
 
 @jax.jit
 def _apply_direct(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
-    from zaftpu.core.policy import matmul_precision
+    from zaftpu.core.policy import real_matmul
 
-    return jnp.matmul(x, matrix.astype(x.dtype),
-                      preferred_element_type=x.dtype,
-                      precision=matmul_precision())
+    return real_matmul(x, matrix.astype(x.dtype))
 
 
 def _direct_or_none(kind: str, transform_type: int, x: jnp.ndarray):

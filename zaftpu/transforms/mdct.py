@@ -85,7 +85,7 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
                       window_function: jnp.ndarray,
                       matrix: jnp.ndarray) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
-    from zaftpu.core.policy import matmul_precision
+    from zaftpu.core.policy import real_matmul
 
     wl = window_function.shape[0]
     step = wl // 2
@@ -94,9 +94,7 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
     frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
-    coeffs = jnp.matmul(frames, matrix.astype(frames.dtype),
-                        preferred_element_type=frames.dtype,
-                        precision=matmul_precision())
+    coeffs = real_matmul(frames, matrix.astype(frames.dtype))
     return jnp.swapaxes(coeffs, -1, -2)
 
 
@@ -105,13 +103,11 @@ def _imdct_direct_core(audio_mdct: jnp.ndarray,
                        window_function: jnp.ndarray,
                        matrix: jnp.ndarray) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
-    from zaftpu.core.policy import matmul_precision
+    from zaftpu.core.policy import real_matmul
 
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
-    frames = jnp.matmul(coeffs, matrix.astype(coeffs.dtype),
-                        preferred_element_type=coeffs.dtype,
-                        precision=matmul_precision())
+    frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
     frames = frames * window_function.astype(frames.dtype)
     signal = _pallas.overlap_add(frames, f)
     return signal[..., f:signal.shape[-1] - f - 1]
