@@ -129,6 +129,10 @@ ARMS = (
     ("direct", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0"}),
     ("direct_high", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0",
                      "ZAFTPU_PRECISION": "high"}),
+    # Manual 4-pass bf16-split GEMM: keeps the lo@lo term HIGH drops, so it
+    # clears the 96 dB gate (~108 dB) at 4 MXU passes vs HIGHEST's 6.
+    ("direct_split4", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0",
+                       "ZAFTPU_PRECISION": "split4"}),
     ("foursteps", {"ZAFTPU_FFT": "matmul", "ZAFTPU_PALLAS": "0",
                    "ZAFTPU_FFT_DIRECT_MAX": "0"}),
     # Default dispatch: ZAFTPU_FFT=auto -> direct GEMMs on TPU, Pallas on.
