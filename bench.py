@@ -290,9 +290,11 @@ def _probe_tpu(extra_env, timeout_s=120):
     only costs ``timeout_s`` instead of a full rung budget."""
     env = dict(os.environ, BENCH_PROBE="1", **extra_env)
     try:
+        # capture_output: the probe's stdout must not leak into the
+        # supervisor's one-JSON-line stdout contract.
         return subprocess.run(
             [sys.executable, "-c", _PROBE_CODE], env=env,
-            timeout=timeout_s).returncode == 0
+            capture_output=True, timeout=timeout_s).returncode == 0
     except subprocess.TimeoutExpired:
         log(f"TPU probe hung ({timeout_s}s) — tunnel wedged")
         return False
@@ -344,7 +346,12 @@ def _supervise():
     # mid-ladder discards every completed measurement.
     deadline = time.monotonic() + int(os.environ.get("BENCH_DEADLINE", "1350"))
     ladder = [
-        # Default dispatch first: ZAFTPU_FFT=auto selects the matmul engine
+        # Fastest gate-passing rung first: the 4-pass bf16-split GEMM
+        # (ZAFTPU_PRECISION=split4) measures 1.90M STFT / 8.12M MDCT
+        # frames/s at 108 dB — above the 96 dB floor that disqualifies the
+        # 3-pass HIGH scheme (docs/tpu_results/stft_engines.json).
+        ("TPU (split4 GEMM)", {"ZAFTPU_PRECISION": "split4"}, budget),
+        # Default dispatch: ZAFTPU_FFT=auto selects the matmul engine
         # on TPU (docs/tpu_results/stft_engines.json), Pallas framing on.
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),

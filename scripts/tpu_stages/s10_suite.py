@@ -40,8 +40,12 @@ def run_arm(extra_env):
 
 def main():
     arms = {"default": run_arm({}),
+            # 4-pass bf16-split GEMMs framework-wide (every exact-path real
+            # matmul routes through policy.real_matmul): per-transform
+            # numbers for the fastest gate-passing precision dial.
+            "split4": run_arm({"ZAFTPU_PRECISION": "split4"}),
             "conv": run_arm({"ZAFTPU_STFT": "conv"})}
-    # conv is informational; the default column gates rerun.
+    # conv/split4 are informational; the default column gates rerun.
     print(json.dumps({"ok": arms["default"]["arm_ok"], "arms": arms}))
     return 0
 
