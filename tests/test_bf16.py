@@ -211,6 +211,28 @@ def test_split4_matmul_accuracy_and_pass_count():
     assert len(dots) == 4
 
 
+def test_split4_bandwidth_bound_optout(monkeypatch):
+    """Traffic-bound GEMMs (the CQT's hop-width slabs, F=144) opt out of
+    split4: one HIGHEST dot, not the 4-pass expansion (measured slower
+    under split4 on hardware — suite.json 2026-08-17)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import policy
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    a = jnp.zeros((8, 1764), jnp.float32)
+    b = jnp.zeros((1764, 144), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda x, y: policy.real_matmul(x, y, bandwidth_bound=True))(a, b)
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert len(dots) == 1
+    jaxpr4 = jax.make_jaxpr(policy.real_matmul)(a, b)
+    dots4 = [e for e in jaxpr4.jaxpr.eqns
+             if e.primitive.name == "dot_general"]
+    assert len(dots4) == 4
+
+
 def test_split4_transform_roundtrips(monkeypatch, x32):
     """End-to-end under ZAFTPU_PRECISION=split4 + the GEMM engine: STFT and
     MDCT round trips must clear the 16-bit-audio 96 dB gate (measured ~108

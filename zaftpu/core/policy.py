@@ -147,25 +147,33 @@ def _split4_matmul(a, b):
     return ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
 
 
-def real_matmul(a, b):
+def real_matmul(a, b, bandwidth_bound=False):
     """Real-operand exact-path GEMM honoring the precision dial.
 
     Under ``ZAFTPU_PRECISION=split4`` (f32 operands only — the f64 oracle
     path never lowers) runs :func:`_split4_matmul`; otherwise a plain matmul
-    at :func:`matmul_precision`.
+    at :func:`matmul_precision`. ``bandwidth_bound=True`` marks GEMMs whose
+    cost is HBM traffic, not MXU passes (tiny output width, huge
+    contraction — the CQT's hop-width slab GEMMs at F=144): for those the
+    split's extra operand materialization only adds bytes, so the dial
+    keeps HIGHEST (measured: CQT 886k fr/s HIGHEST vs 729k under split4,
+    docs/tpu_results/suite.json 2026-08-17).
     """
-    if (split4_enabled() and a.dtype == jnp.float32
+    if (split4_enabled() and not bandwidth_bound
+            and a.dtype == jnp.float32
             and jnp.dtype(b.dtype) == jnp.float32):
         return _split4_matmul(a, b)
     return jnp.matmul(a, b, preferred_element_type=a.dtype,
                       precision=matmul_precision())
 
 
-def mxu_matmul(a, b):
+def mxu_matmul(a, b, bandwidth_bound=False):
     """``a @ b`` against a precomputed operator ``b`` with TPU mixed
     precision: a bf16 operator lowers ``a`` to bf16 for the MXU (one systolic
     pass, f32 accumulation); any other operator dtype is promoted to ``a``'s
-    dtype and computed at ``Precision.HIGHEST``.
+    dtype and computed at ``Precision.HIGHEST`` (or the split4 scheme under
+    that dial — ``bandwidth_bound=True`` opts a traffic-bound GEMM out, see
+    :func:`real_matmul`).
 
     The explicit ``HIGHEST`` matters: XLA's *default* matmul precision on TPU
     truncates f32 operands to bf16 (a single MXU pass) — bit-identical to the
@@ -193,6 +201,7 @@ def mxu_matmul(a, b):
         out = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
         return acc.astype(out)
     if not jnp.issubdtype(a.dtype, jnp.complexfloating):
-        return real_matmul(a, jnp.asarray(b).astype(a.dtype))
+        return real_matmul(a, jnp.asarray(b).astype(a.dtype),
+                           bandwidth_bound=bandwidth_bound)
     return jnp.matmul(a, b.astype(a.dtype), preferred_element_type=a.dtype,
                       precision=matmul_precision())

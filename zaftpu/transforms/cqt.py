@@ -305,8 +305,13 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
             slab = jax.lax.dynamic_slice(
                 padded, (base + lo,), (bs,)).reshape(block_frames,
                                                      step_length)[:, :width]
-            re = re + _policy.mxu_matmul(slab, m_real[lo:lo + width])
-            im = im + _policy.mxu_matmul(slab, m_imag[lo:lo + width])
+            # bandwidth_bound: F=144 output columns over a K<=1764 slab is
+            # HBM-traffic-bound — split4's operand splitting only adds
+            # bytes here (measured 729k vs 886k fr/s, suite.json).
+            re = re + _policy.mxu_matmul(slab, m_real[lo:lo + width],
+                                         bandwidth_bound=True)
+            im = im + _policy.mxu_matmul(slab, m_imag[lo:lo + width],
+                                         bandwidth_bound=True)
         return jnp.sqrt(re * re + im * im)             # (B, F)
 
     out = jax.lax.map(one_block, jnp.arange(blocks))   # (blocks, B, F)
