@@ -143,22 +143,20 @@ def full_from_half(half: jnp.ndarray, n: int) -> jnp.ndarray:
     """
     import jax
 
-    idx_np, sgn_np = _mirror_index(half.shape[-1], n)
-    idx = jnp.asarray(idx_np)
-    re = jnp.real(half)[..., idx]
-    im = jnp.imag(half)[..., idx] * jnp.asarray(sgn_np, jnp.real(half).dtype)
-    return jax.lax.complex(re, im)
+    idx = jnp.asarray(_mirror_index(half.shape[-1], n))
+    re, im = jnp.real(half), jnp.imag(half)
+    re_f = jnp.concatenate([re, re[..., idx]], axis=-1)
+    im_f = jnp.concatenate([im, -im[..., idx]], axis=-1)
+    return jax.lax.complex(re_f, im_f)
 
 
 @lru_cache(maxsize=16)
 def _mirror_index(half_len: int, n: int):
-    """Gather index + conjugation sign mapping ``rfft`` bins to the full
-    spectrum: ``full[k] = half[k]`` for ``k < half_len``, else
-    ``conj(half[n - k])``."""
-    k = np.arange(n)
-    idx = np.where(k < half_len, k, n - k).astype(np.int32)
-    sgn = np.where(k < half_len, 1.0, -1.0)
-    return idx, sgn
+    """Gather index for the mirrored interior bins only (the contiguous
+    half rides a plain concat): ``full[k] = conj(half[n - k])`` for
+    ``k = half_len..n-1``."""
+    return (half_len - np.arange(half_len, n)
+            + (n - half_len)).astype(np.int32)
 
 
 @lru_cache(maxsize=16)
