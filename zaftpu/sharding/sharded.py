@@ -40,7 +40,7 @@ from zaftpu.sharding.mesh import BATCH_AXIS, FRAME_AXIS
 from zaftpu.core import policy as _policy
 from zaftpu.transforms import cqt as _cqt
 from zaftpu.transforms.mdct import (_direct_forward_matrix,
-                                    _direct_inverse_matrix,
+                                    _direct_inverse_windowed_matrix,
                                     _forward_twiddles, _inverse_twiddles)
 
 
@@ -453,15 +453,13 @@ def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis_name"))
-def _imdct_core_sharded_direct(audio_mdct, window_function, matrix, mesh,
-                               axis_name):
-    """Direct-GEMM sharded inverse MDCT: the (F, 2F) folded operator of the
-    single-device path (pre/FFT/post/2*Re fused), so values stay identical
-    under ``ZAFTPU_FFT=matmul``."""
+def _imdct_core_sharded_direct(audio_mdct, matrix, mesh, axis_name):
+    """Direct-GEMM sharded inverse MDCT: the window-folded (F, 2F) operator
+    of the single-device path (pre/FFT/post/2*Re/window fused), so values
+    stay identical under ``ZAFTPU_FFT=matmul``."""
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)
     frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
-    frames = frames * window_function.astype(frames.dtype)
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
     return body[..., f:]
 
@@ -483,9 +481,12 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     if _fft.direct_engine_enabled(2 * f):
         rdtype = (np.float32 if audio_mdct.dtype == jnp.float32
                   else np.float64)
+        wbytes = np.ascontiguousarray(
+            np.asarray(window_function, dtype=np.float64)).tobytes()
         out = _imdct_core_sharded_direct(
-            padded, as_device_constant(window_function),
-            pinned_device_constant(_direct_inverse_matrix(f), rdtype),
+            padded,
+            pinned_device_constant(
+                _direct_inverse_windowed_matrix(f, wbytes), rdtype),
             mesh, axis_name)
         return out[..., :f * t - f - 1]
     pre, post = _inverse_twiddles(f)

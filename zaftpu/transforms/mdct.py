@@ -98,9 +98,21 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
     return jnp.swapaxes(coeffs, -1, -2)
 
 
+@lru_cache(maxsize=16)
+def _direct_inverse_windowed_matrix(number_frequencies: int,
+                                    window_bytes: bytes):
+    """:func:`_direct_inverse_matrix` with the TDAC window folded into its
+    columns: ``(coeffs @ M) * win == coeffs @ (M * win)``, so the separate
+    post-GEMM elementwise pass over the ``(T, 2F)`` frame matrix (and its
+    fusion barrier before the Pallas OLA custom call) disappears. float64
+    host math; keyed by window content so the lru identity is stable for
+    ``pinned_device_constant``."""
+    win = np.frombuffer(window_bytes, dtype=np.float64)
+    return _direct_inverse_matrix(number_frequencies) * win[None, :]
+
+
 @jax.jit
 def _imdct_direct_core(audio_mdct: jnp.ndarray,
-                       window_function: jnp.ndarray,
                        matrix: jnp.ndarray) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import real_matmul
@@ -108,7 +120,6 @@ def _imdct_direct_core(audio_mdct: jnp.ndarray,
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
     frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
-    frames = frames * window_function.astype(frames.dtype)
     signal = _pallas.overlap_add(frames, f)
     return signal[..., f:signal.shape[-1] - f - 1]
 
@@ -255,9 +266,12 @@ def imdct(audio_mdct, window_function):
                                 _direct_inverse_matrix(f))
     if _fft.direct_engine_enabled(2 * f):
         rdtype = np.float32 if audio_mdct.dtype == jnp.float32 else np.float64
+        wbytes = np.ascontiguousarray(
+            np.asarray(window_function, dtype=np.float64)).tobytes()
         return _imdct_direct_core(
-            audio_mdct, as_device_constant(window_function),
-            pinned_device_constant(_direct_inverse_matrix(f), rdtype))
+            audio_mdct,
+            pinned_device_constant(
+                _direct_inverse_windowed_matrix(f, wbytes), rdtype))
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     return _imdct_core(audio_mdct, as_device_constant(window_function),
