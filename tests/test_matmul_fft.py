@@ -143,6 +143,19 @@ class TestDirectDft:
         ref = np.real(np.fft.ifft(z, axis=-1))
         np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
 
+    @pytest.mark.parametrize("n", [512, 511, 2048])
+    def test_full_from_half_mirror(self, n):
+        """The plane-gather mirror (concat + interior-only index gather —
+        reversing the complex minor dim is a slow lane relayout on TPU) must
+        reproduce np.fft.fft's full spectrum exactly, even and odd N."""
+        from zaftpu.core.fft import full_from_half
+
+        x = RNG.standard_normal((3, n))
+        half = np.fft.rfft(x, axis=-1)
+        got = np.asarray(full_from_half(jnp.asarray(half), n))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-1),
+                                   rtol=1e-12, atol=1e-12 * n)
+
     def test_engine_routes_small_n_direct(self, monkeypatch):
         """Under ZAFTPU_FFT=matmul, rfft/real_ifft of n <= DIRECT_MAX use
         the direct GEMMs; DIRECT_MAX=0 falls back to four-step."""
