@@ -59,5 +59,6 @@ run_stage cqt_tune   3000 python scripts/tpu_stages/s7_cqt_tune.py
 run_stage fused_probe 1800 python scripts/tpu_stages/s9_fused_probe.py
 run_stage stft_engines 4500 python scripts/tpu_stages/s8_stft_engines.py
 run_stage stft_breakdown 1500 python scripts/tpu_stages/s11_stft_breakdown.py
-run_stage suite      2700 python scripts/tpu_stages/s10_suite.py
+# 3 arms x up to 1200 s subprocess budget each + slack.
+run_stage suite      4200 python scripts/tpu_stages/s10_suite.py
 echo "session complete"

@@ -17,9 +17,14 @@ import sys
 
 def run_arm(extra_env):
     env = dict(os.environ, **extra_env)
-    proc = subprocess.run(
-        [sys.executable, "-m", "zaftpu.bench.harness", "--seconds", "120"],
-        env=env, timeout=1200, capture_output=True, text=True)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "zaftpu.bench.harness", "--seconds",
+             "120"], env=env, timeout=1200, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        # A hung arm must not discard the arms already measured — the
+        # stage-level JSON still prints with this arm marked failed.
+        return {"arm_ok": False, "backend": "timeout", "transforms": {}}
     print(proc.stderr[-3000:], file=sys.stderr, flush=True)
     rows = []
     for line in proc.stdout.strip().splitlines():

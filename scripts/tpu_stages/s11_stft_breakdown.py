@@ -25,7 +25,6 @@ the utilization gap. Prints ONE JSON line.
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -37,31 +36,15 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _timed(fn, fetch_sync, blocks=3):
-    """s8's harness: dispatch-amortized, tunnel-sync-subtracted, adaptive
-    rep count sized for ~2 s of device work, min over blocks."""
-    out = fn()
-    fetch_sync(out)
-    t0 = time.perf_counter()
-    for _ in range(8):
-        out = fn()
-    fetch_sync(out)
-    t1 = time.perf_counter()
-    fetch_sync(out)
-    coarse = max((t1 - t0 - (time.perf_counter() - t1)) / 8, 1e-5)
-    reps = int(min(1024, max(8, round(2.0 / coarse))))
-    best = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        fetch_sync(out)
-        dt = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        fetch_sync(out)
-        sync_s = time.perf_counter() - t1
-        best = min(best, max(dt - sync_s, 1e-9) / reps)
-    return best, out
+def _timed(fn):
+    """zaftpu.utils.profiling.timed with the repo-standard tunnel settings:
+    dispatch-amortized, idle-sync-subtracted, dispatch count auto-sized for
+    ~2 s of device work, min over 3 blocks. Returns seconds per call."""
+    from zaftpu.utils.profiling import timed
+
+    _, stats = timed("s11", fn, reps=3, dispatches=8, target_s=2.0,
+                     log=False)
+    return stats.seconds
 
 
 def main():
@@ -78,7 +61,6 @@ def main():
     from zaftpu.core.frame import stft_padding
     from zaftpu.core.policy import real_matmul
     from zaftpu.core.windows import hamming
-    from zaftpu.utils.profiling import fetch_sync
 
     if (jax.default_backend() != "tpu"
             and os.environ.get("S11_ALLOW_CPU") != "1"):
@@ -136,14 +118,19 @@ def main():
 
     out = {"ok": True, "t_frames": t, "wl": WL, "step": STEP}
 
-    def run(name, fn, arg):
+    def run(name, fn, arg, gate=True):
+        """``gate=False`` marks informational candidates (cat1, mdct_ref):
+        their failure is a result, and must not set the stage-level
+        ``"ok": false`` that makes the watcher rerun the whole stage every
+        session (the s8/s10 arm_ok lesson)."""
         try:
-            sec, _ = _timed(lambda: fn(arg), fetch_sync)
+            sec = _timed(lambda: fn(arg))
             out[name] = {"seconds": round(sec, 6),
                          "frames_per_s": round(t / sec, 1)}
             log(f"{name}: {sec * 1e3:.2f} ms  {t / sec:,.0f} fr/s")
         except Exception as exc:  # keep the other prefixes
-            out["ok"] = False
+            if gate:
+                out["ok"] = False
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             log(f"{name}: FAILED ({type(exc).__name__})")
 
@@ -151,8 +138,8 @@ def main():
     run("half", p_half, x)
     run("full", p_full, x)
     run("stft", p_stft, x)
-    run("cat1", p_cat1, x)
-    run("mdct_ref", p_mdct_ref, x)
+    run("cat1", p_cat1, x, gate=False)
+    run("mdct_ref", p_mdct_ref, x, gate=False)
 
     try:  # cat1 must be numerically equivalent to the two-GEMM stft
         err = jax.jit(lambda s: jnp.max(jnp.abs(p_cat1(s) - p_stft(s))))(x)

@@ -212,25 +212,30 @@ def test_split4_matmul_accuracy_and_pass_count():
 
 
 def test_split4_bandwidth_bound_optout(monkeypatch):
-    """Traffic-bound GEMMs (the CQT's hop-width slabs, F=144) opt out of
-    split4: one HIGHEST dot, not the 4-pass expansion (measured slower
-    under split4 on hardware — suite.json 2026-08-17)."""
+    """Traffic-bound GEMMs opt out of split4 and keep one HIGHEST dot:
+    explicitly via bandwidth_bound=True, and automatically for narrow
+    outputs (N < 256 — the CQT slabs at F=144 measured 18% slower under
+    split4, suite.json 2026-08-17; mel/MFCC operators are narrower still).
+    Wide operators (the N >= 1024 DFT/MDCT GEMMs) get the 4-pass scheme."""
     import jax
     import jax.numpy as jnp
 
     from zaftpu.core import policy
 
     monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+
+    def dots(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        return sum(e.primitive.name == "dot_general"
+                   for e in jaxpr.jaxpr.eqns)
+
     a = jnp.zeros((8, 1764), jnp.float32)
-    b = jnp.zeros((1764, 144), jnp.float32)
-    jaxpr = jax.make_jaxpr(
-        lambda x, y: policy.real_matmul(x, y, bandwidth_bound=True))(a, b)
-    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
-    assert len(dots) == 1
-    jaxpr4 = jax.make_jaxpr(policy.real_matmul)(a, b)
-    dots4 = [e for e in jaxpr4.jaxpr.eqns
-             if e.primitive.name == "dot_general"]
-    assert len(dots4) == 4
+    wide = jnp.zeros((1764, 1024), jnp.float32)
+    narrow = jnp.zeros((1764, 144), jnp.float32)
+    assert dots(policy.real_matmul, a, wide) == 4
+    assert dots(policy.real_matmul, a, narrow) == 1       # auto opt-out
+    assert dots(lambda x, y: policy.real_matmul(x, y, bandwidth_bound=True),
+                a, wide) == 1                             # explicit opt-out
 
 
 def test_split4_transform_roundtrips(monkeypatch, x32):

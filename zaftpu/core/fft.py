@@ -155,8 +155,7 @@ def _mirror_index(half_len: int, n: int):
     """Gather index for the mirrored interior bins only (the contiguous
     half rides a plain concat): ``full[k] = conj(half[n - k])`` for
     ``k = half_len..n-1``."""
-    return (half_len - np.arange(half_len, n)
-            + (n - half_len)).astype(np.int32)
+    return (n - np.arange(half_len, n)).astype(np.int32)
 
 
 @lru_cache(maxsize=16)

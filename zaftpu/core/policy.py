@@ -159,7 +159,13 @@ def real_matmul(a, b, bandwidth_bound=False):
     keeps HIGHEST (measured: CQT 886k fr/s HIGHEST vs 729k under split4,
     docs/tpu_results/suite.json 2026-08-17).
     """
+    # Narrow outputs are bandwidth-bound regardless of the caller's flag:
+    # the split streams the wide activation from HBM four times while the
+    # MXU is nowhere near saturated at N < 256 (the measured CQT case is
+    # N=144; the mel filterbank is N=40, the MFCC DCT N=20). The hot GEMMs
+    # split4 exists for are N >= 1024 (DFT/MDCT operators).
     if (split4_enabled() and not bandwidth_bound
+            and b.shape[-1] >= 256
             and a.dtype == jnp.float32
             and jnp.dtype(b.dtype) == jnp.float32):
         return _split4_matmul(a, b)

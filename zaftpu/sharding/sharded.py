@@ -40,7 +40,9 @@ from zaftpu.sharding.mesh import BATCH_AXIS, FRAME_AXIS
 from zaftpu.core import policy as _policy
 from zaftpu.transforms import cqt as _cqt
 from zaftpu.transforms.mdct import (_direct_forward_matrix,
+                                    _direct_inverse_matrix,
                                     _direct_inverse_windowed_matrix,
+                                    _host_window_bytes,
                                     _forward_twiddles, _inverse_twiddles)
 
 
@@ -464,6 +466,19 @@ def _imdct_core_sharded_direct(audio_mdct, matrix, mesh, axis_name):
     return body[..., f:]
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def _imdct_core_sharded_direct_unfused(audio_mdct, window_function, matrix,
+                                       mesh, axis_name):
+    """Traced/device-resident window twin — post-GEMM multiply, matching
+    :func:`zaftpu.transforms.mdct._imdct_direct_core_unfused`."""
+    f = audio_mdct.shape[-2]
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
+    frames = frames * window_function.astype(frames.dtype)
+    body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
+    return body[..., f:]
+
+
 def imdct_sharded(audio_mdct, window_function, mesh,
                   axis_name: str = FRAME_AXIS):
     """Frame-block-sharded inverse MDCT with TDAC boundary-sum exchange;
@@ -481,13 +496,18 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     if _fft.direct_engine_enabled(2 * f):
         rdtype = (np.float32 if audio_mdct.dtype == jnp.float32
                   else np.float64)
-        wbytes = np.ascontiguousarray(
-            np.asarray(window_function, dtype=np.float64)).tobytes()
-        out = _imdct_core_sharded_direct(
-            padded,
-            pinned_device_constant(
-                _direct_inverse_windowed_matrix(f, wbytes), rdtype),
-            mesh, axis_name)
+        wbytes = _host_window_bytes(window_function)
+        if wbytes is None:
+            out = _imdct_core_sharded_direct_unfused(
+                padded, as_device_constant(window_function),
+                pinned_device_constant(_direct_inverse_matrix(f), rdtype),
+                mesh, axis_name)
+        else:
+            out = _imdct_core_sharded_direct(
+                padded,
+                pinned_device_constant(
+                    _direct_inverse_windowed_matrix(f, wbytes), rdtype),
+                mesh, axis_name)
         return out[..., :f * t - f - 1]
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128

@@ -124,6 +124,34 @@ def _imdct_direct_core(audio_mdct: jnp.ndarray,
     return signal[..., f:signal.shape[-1] - f - 1]
 
 
+@jax.jit
+def _imdct_direct_core_unfused(audio_mdct: jnp.ndarray,
+                               window_function: jnp.ndarray,
+                               matrix: jnp.ndarray) -> jnp.ndarray:
+    """Traced/device-resident windows (jit or grad w.r.t. the window, or a
+    window living on the device) cannot be folded into the host-built
+    operator — keep the differentiable post-GEMM multiply for those."""
+    from zaftpu import pallas as _pallas
+    from zaftpu.core.policy import real_matmul
+
+    f = audio_mdct.shape[-2]
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
+    frames = frames * window_function.astype(frames.dtype)
+    signal = _pallas.overlap_add(frames, f)
+    return signal[..., f:signal.shape[-1] - f - 1]
+
+
+def _host_window_bytes(window_function):
+    """float64 bytes of a host-side window, or None when the window is a
+    tracer or a device array (folding would break differentiation or cost a
+    device->host fetch per call)."""
+    if isinstance(window_function, (jax.core.Tracer, jax.Array)):
+        return None
+    return np.ascontiguousarray(
+        np.asarray(window_function, dtype=np.float64)).tobytes()
+
+
 def _mdct_conv_core(audio_signal, window_function, matrix_np):
     """Conv-mode MDCT: the folded (WL, WL/2) forward operator applied as
     one strided convolution (``ZAFTPU_STFT=conv``) — framing + TDAC window
@@ -266,8 +294,11 @@ def imdct(audio_mdct, window_function):
                                 _direct_inverse_matrix(f))
     if _fft.direct_engine_enabled(2 * f):
         rdtype = np.float32 if audio_mdct.dtype == jnp.float32 else np.float64
-        wbytes = np.ascontiguousarray(
-            np.asarray(window_function, dtype=np.float64)).tobytes()
+        wbytes = _host_window_bytes(window_function)
+        if wbytes is None:
+            return _imdct_direct_core_unfused(
+                audio_mdct, as_device_constant(window_function),
+                pinned_device_constant(_direct_inverse_matrix(f), rdtype))
         return _imdct_direct_core(
             audio_mdct,
             pinned_device_constant(
