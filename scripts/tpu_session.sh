@@ -10,6 +10,12 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 RES=docs/tpu_results
 mkdir -p "$RES"
 
+probe_alive() {  # cheap mid-session wedge detector (60 s, cached compile)
+  timeout 60 python -c \
+    "import jax, jax.numpy as jnp; assert float((jnp.ones((8,8))*2).sum())==128.0" \
+    >/dev/null 2>&1
+}
+
 run_stage() {  # run_stage <name> <timeout_s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   if [ -s "$RES/$name.json" ]; then
@@ -22,6 +28,13 @@ run_stage() {  # run_stage <name> <timeout_s> <cmd...>
       echo "stage $name: already done, skipping"
       return 0
     fi
+  fi
+  # A wedge mid-session would make every remaining stage burn its full
+  # timeout; probe before committing a budget (stays missing -> next session
+  # retries).
+  if ! probe_alive; then
+    echo "stage $name: tunnel dead at stage start — skipping rest of session"
+    exit 1
   fi
   echo "=== stage $name (timeout ${tmo}s): $*"
   local out="$RES/$name.json.tmp"

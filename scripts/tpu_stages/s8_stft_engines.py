@@ -149,7 +149,15 @@ def main():
     if os.environ.get(WORKER) == "1":
         return worker()
     results = {}
+    consecutive_timeouts = 0
     for label, extra in ARMS:
+        if consecutive_timeouts >= 2:
+            # Two arms in a row hitting the full 600 s budget means the
+            # tunnel is wedged, not that the programs are slow — don't burn
+            # the remaining arms' budgets (observed 2026-08-17T23:xx: a
+            # wedge mid-sweep cost 8 x 600 s of blocked sessions).
+            results[label] = {"ok": False, "reason": "skipped: tunnel wedged"}
+            continue
         env = dict(os.environ, **extra)
         env[WORKER] = "1"
         log(f"--- engine arm: {label} ({extra})")
@@ -161,8 +169,10 @@ def main():
             results[label] = (json.loads(proc.stdout.strip().splitlines()[-1])
                               if proc.returncode == 0 and proc.stdout.strip()
                               else {"ok": False, "rc": proc.returncode})
+            consecutive_timeouts = 0
         except subprocess.TimeoutExpired:
             results[label] = {"ok": False, "reason": "timeout"}
+            consecutive_timeouts += 1
         # Per-arm status is "arm_ok": the watcher's rerun check greps the
         # whole result file for '"ok": false', and a failed *informational*
         # arm must not force an endless rerun of the whole sweep.
