@@ -253,7 +253,9 @@ def main():
     # the 16-bit audio noise floor (96 dB) — speed must not buy silent
     # precision loss (e.g. an over-aggressive ZAFTPU_PRECISION setting).
     snrs = [stft_snr] + ([mdct_snr] if mdct_snr is not None else [])
-    if min(snrs) < 96.0:
+    # `not >=` rather than `<`: a NaN SNR (device fault, corrupt transfer)
+    # must fail the gate, and NaN < 96.0 is False.
+    if not min(snrs) >= 96.0:
         log(f"REJECTED: round-trip SNR below the 96 dB floor ({snrs})")
         sys.exit(2)
 
@@ -376,6 +378,12 @@ def _supervise():
         if results and remaining < timeout_s * 0.5:
             log(f"deadline approaching ({remaining:.0f}s left) — "
                 f"reporting best of {len(results)} completed rungs")
+            break
+        if remaining < 240:
+            # Even with no result yet, a probe (120 s) + minimum rung
+            # (120 s) cannot finish — launching one just gets killed by the
+            # caller's outer timeout mid-rung.
+            log(f"deadline too close ({remaining:.0f}s) to start a rung")
             break
         timeout_s = max(120, min(timeout_s, int(remaining)))
         if not _probe_tpu(extra):

@@ -248,14 +248,47 @@ def test_conv_mode_does_not_leak_into_sharded(signal, mesh, monkeypatch):
     depend on an env var (or on shard count). With conv mode active, the
     sharded STFT must still match the framed single-device program
     bit-for-bit, while the conv single-device program is merely close."""
+    import jax
+
     x32 = signal.astype(np.float32)
     win32 = hamming(WL).astype(np.float32)
     monkeypatch.setenv("ZAFTPU_FFT", "matmul")   # conv needs the GEMM engine
-    framed_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
-    monkeypatch.setenv("ZAFTPU_STFT", "conv")
-    conv_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
-    out = np.asarray(stft_sharded(x32, win32, STEP, mesh))
-    # Sharded == framed single-device exactly, independent of conv mode.
-    np.testing.assert_array_equal(out, framed_ref)
-    # ... and the conv program itself is only float-noise away.
-    assert np.max(np.abs(conv_ref - framed_ref)) < 1e-4
+    # Env dials are read at trace time: clear caches around each toggle or
+    # the second stft call would silently reuse the first trace and every
+    # assertion below would be vacuous.
+    jax.clear_caches()
+    try:
+        framed_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
+        monkeypatch.setenv("ZAFTPU_STFT", "conv")
+        jax.clear_caches()
+        conv_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
+        out = np.asarray(stft_sharded(x32, win32, STEP, mesh))
+        # Sharded == framed single-device exactly, independent of conv mode.
+        np.testing.assert_array_equal(out, framed_ref)
+        # ... and the conv program itself is only float-noise away — and a
+        # genuinely different program (would be identical if the cache
+        # leaked).
+        diff = np.max(np.abs(conv_ref - framed_ref))
+        assert 0.0 < diff < 5e-4  # measured ~1.2e-4 f32 accumulation noise
+    finally:
+        jax.clear_caches()  # drop conv traces so later tests retrace
+
+
+def test_cqt_tp_2d_mesh(signal):
+    """TP CQT on the 2-D batch x frames mesh with a batched signal — the
+    CLAUDE.md sharded-op test matrix's 2-D row for cqtspectrogram_tp."""
+    import jax
+
+    from zaftpu.sharding import cqtspectrogram_tp, make_mesh_2d
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh2 = make_mesh_2d(2, 2)
+    kern = zaftpu.cqtkernel(44100, 24, 55, 3520)
+    x32 = signal.astype(np.float32)
+    batch = np.stack([x32, np.roll(x32, 4321)])
+    ref = np.stack([np.asarray(zaftpu.cqtspectrogram(b, 44100, 25, kern))
+                    for b in batch])
+    out = np.asarray(cqtspectrogram_tp(batch, 44100, 25, kern, mesh2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)

@@ -61,7 +61,14 @@ def _reset_health() -> None:
 def guarded(fn):
     """Decorator for public transforms: retry once on pure-XLA paths if a
     program containing a Pallas kernel fails to compile or run. User errors
-    (ValueError/TypeError from validation) propagate untouched."""
+    (ValueError/TypeError from validation) propagate untouched.
+
+    The broken latch only sticks when the XLA retry *succeeds* — that is
+    evidence the Pallas path specifically is at fault. If both paths fail
+    (a wedged tunnel, transient UNIMPLEMENTED, OOM from an oversized
+    input), the kernels were never the problem and the latch is released so
+    a one-shot backend error cannot silently cost the process its fast
+    path forever."""
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         try:
@@ -72,7 +79,14 @@ def guarded(fn):
             if not enabled():
                 raise
             mark_broken(exc)
-            return fn(*args, **kwargs)
+            try:
+                return fn(*args, **kwargs)
+            except (ValueError, TypeError, KeyboardInterrupt):
+                raise
+            except Exception:
+                _reset_health()  # both paths failed: not a Pallas fault
+                jax.clear_caches()
+                raise
     return wrapper
 
 

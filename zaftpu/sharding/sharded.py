@@ -584,6 +584,27 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
         (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t, 0)
 
 
+_TP_PAD_CACHE: dict = {}
+
+
+def _tp_padded_kernel(m_real, m_imag, f_pad: int):
+    """Zero-pad the device kernel pair to a shard-divisible channel count,
+    once per (kernel, f_pad) instead of re-concatenating ~37 MB of operator
+    on every call. Keys on the identity of `_device_time_kernel`'s cached
+    arrays (pinned in the value so the ids stay live); FIFO-bounded."""
+    key = (id(m_real), id(m_imag), f_pad)
+    hit = _TP_PAD_CACHE.get(key)
+    if hit is None:
+        while len(_TP_PAD_CACHE) >= 8:
+            _TP_PAD_CACHE.pop(next(iter(_TP_PAD_CACHE)))
+        zeros = jnp.zeros((m_real.shape[0], f_pad - m_real.shape[1]),
+                          m_real.dtype)
+        hit = (jnp.concatenate([m_real, zeros], axis=1),
+               jnp.concatenate([m_imag, zeros], axis=1), m_real, m_imag)
+        _TP_PAD_CACHE[key] = hit
+    return hit[0], hit[1]
+
+
 @partial(jax.jit, static_argnames=("step_length", "fft_length", "mesh",
                                    "axis_name", "pads", "block_frames"))
 def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
@@ -639,9 +660,7 @@ def cqtspectrogram_tp(audio_signal, sampling_frequency, time_resolution,
     n_freq = m_real.shape[1]
     f_pad = n_shards * (-(-n_freq // n_shards))
     if f_pad != n_freq:
-        zeros = jnp.zeros((m_real.shape[0], f_pad - n_freq), m_real.dtype)
-        m_real = jnp.concatenate([m_real, zeros], axis=1)
-        m_imag = jnp.concatenate([m_imag, zeros], axis=1)
+        m_real, m_imag = _tp_padded_kernel(m_real, m_imag, f_pad)
 
     # Frame-count padding so every lax.map block slices a full segment.
     block = min(_cqt._BLOCK_FRAMES, max(1, t))

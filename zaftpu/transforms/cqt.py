@@ -327,7 +327,12 @@ def _conv_cqt_impl(padded, m_real, m_imag, step_length, fft_length,
     frame matrix is ~19x the signal at the reference geometry
     zaf.py:627-633)."""
     f = m_real.shape[1]
-    filt = jnp.concatenate([m_real, m_imag], axis=1)[:, None, :]
+    # lax conv requires identical operand dtypes: under the bf16 policy the
+    # kernel operators arrive bfloat16 while the signal is f32 — promote
+    # the filter to the signal dtype (the MDCT conv path pins f32 the same
+    # way; the bf16 MXU trick doesn't apply to conv formulations).
+    filt = jnp.concatenate([m_real, m_imag],
+                           axis=1)[:, None, :].astype(padded.dtype)
     need = (number_times - 1) * step_length + fft_length
     if padded.shape[0] < need:
         padded = jnp.pad(padded, (0, need - padded.shape[0]))
