@@ -14,7 +14,6 @@ if XLA spills intermediates. Prints ONE JSON line.
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -93,7 +92,6 @@ def main():
     import zaftpu
     from zaftpu.core.frame import stft_padding
     from zaftpu.core.windows import hamming, vorbis
-    from zaftpu.utils.profiling import fetch_sync
 
     if jax.default_backend() != "tpu":
         print(json.dumps({"ok": False, "reason": "not on TPU"}))
@@ -108,36 +106,18 @@ def main():
                                  "f32_gflops": F32_PEAK_GFLOPS,
                                  "bf16_gflops": BF16_PEAK_GFLOPS}}
 
+    from zaftpu.utils.profiling import timed
+
     def measure(name, fn, frames, model):
         try:
-            # Dispatch-amortized, sync-overhead-subtracted (the s8 pattern):
-            # back-to-back dispatches, one dependent fetch, minus the cost of
-            # a device-idle fetch; min over blocks drops transient stalls.
-            fetch_sync(fn())  # warm/compile
-            # Coarse pass sizes the rep count: the timed block must hold ~2 s
-            # of device work or the ~0.5 s tunnel round-trip's jitter swamps
-            # the subtraction (first-cut artifact: MDCT at 1.1 ms/call read
-            # "204% of f32 peak" — 8 reps of a 2 ms program is 16 ms of
-            # signal under ~10 ms of round-trip noise).
-            t0 = time.perf_counter()
-            for _ in range(8):
-                r = fn()
-            fetch_sync(r)
-            t1 = time.perf_counter()
-            fetch_sync(r)
-            coarse = max((t1 - t0 - (time.perf_counter() - t1)) / 8, 1e-5)
-            reps = int(min(1024, max(8, round(2.0 / coarse))))
-            sec = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    r = fn()
-                fetch_sync(r)
-                dt = time.perf_counter() - t0
-                t1 = time.perf_counter()
-                fetch_sync(r)
-                sync_s = time.perf_counter() - t1
-                sec = min(sec, max(dt - sync_s, 1e-9) / reps)
+            # The repo-standard tunnel harness (profiling.timed):
+            # dispatch-amortized, idle-sync-subtracted, dispatch count
+            # auto-sized for ~2 s of device work (a fixed count leaves
+            # millisecond programs under the round-trip's ~10 ms jitter —
+            # first-cut artifact: MDCT read "204% of f32 peak").
+            _, stats = timed(name, fn, reps=3, dispatches=8, target_s=2.0,
+                             log=False)
+            sec = stats.seconds
         except Exception as exc:  # keep other measurements; retry next session
             out["ok"] = False
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
@@ -149,7 +129,6 @@ def main():
         geng = meng / sec / 1e9
         out[name] = {
             "seconds": round(sec, 6),
-            "reps": reps,
             "frames_per_s": round(frames / sec, 1),
             "achieved_hbm_gbs": round(gbs, 1),
             "pct_hbm_peak": round(100 * gbs / HBM_PEAK_GBS, 1),

@@ -24,37 +24,17 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _timed(fn, fetch_sync, blocks=3):
-    """Per-call seconds: back-to-back dispatches, one dependent fetch, minus
-    the measured cost of a second (no-pending-work) fetch — the tunnel's
-    sync/fetch overhead is ~0.2-0.5 s and would otherwise dominate sub-20 ms
-    calls (the source of the wildly noisy 10-min MDCT numbers observed
-    2026-08-17). A coarse pass sizes the rep count for ~2 s of device work
-    per timed block so the round-trip's ~10 ms jitter stays <1% of signal.
-    Min over ``blocks`` drops transient tunnel stalls. Returns
+def _timed(fn):
+    """The repo-standard tunnel timing harness
+    (``zaftpu.utils.profiling.timed``): dispatch-amortized, idle-sync-
+    subtracted, dispatch count auto-sized for ~2 s of device work, min over
+    3 blocks — one implementation instead of per-stage copies. Returns
     ``(seconds_per_call, last_output)``."""
-    out = fn()
-    fetch_sync(out)  # warm / compile
-    t0 = time.perf_counter()
-    for _ in range(8):
-        out = fn()
-    fetch_sync(out)
-    t1 = time.perf_counter()
-    fetch_sync(out)
-    coarse = max((t1 - t0 - (time.perf_counter() - t1)) / 8, 1e-5)
-    reps = int(min(1024, max(8, round(2.0 / coarse))))
-    best = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        fetch_sync(out)
-        dt = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        fetch_sync(out)  # device idle: pure sync/fetch overhead
-        sync_s = time.perf_counter() - t1
-        best = min(best, max(dt - sync_s, 1e-9) / reps)
-    return best, out
+    from zaftpu.utils.profiling import timed
+
+    out, stats = timed("s8", fn, reps=3, dispatches=8, target_s=2.0,
+                       log=False)
+    return stats.seconds, out
 
 
 def worker():
@@ -80,9 +60,9 @@ def worker():
     spec = zaftpu.stft(x, win, step)
     fetch_sync(spec)
     compile_s = time.perf_counter() - t_c0
-    stft_s, spec = _timed(lambda: zaftpu.stft(x, win, step), fetch_sync)
+    stft_s, spec = _timed(lambda: zaftpu.stft(x, win, step))
 
-    istft_s, rec = _timed(lambda: zaftpu.istft(spec, win, step), fetch_sync)
+    istft_s, rec = _timed(lambda: zaftpu.istft(spec, win, step))
 
     # Accuracy guard: round-trip SNR vs the (COLA, 50%-overlap) input,
     # aligned from sample 0 exactly as bench.py's gate.
@@ -98,8 +78,8 @@ def worker():
 
     tdac = vorbis(wl).astype(np.float32)
     t_mdct = int(np.ceil(sr * secs / step)) + 1
-    mdct_s, out = _timed(lambda: zaftpu.mdct(x, tdac), fetch_sync)
-    imdct_s, rec2 = _timed(lambda: zaftpu.imdct(out, tdac), fetch_sync)
+    mdct_s, out = _timed(lambda: zaftpu.mdct(x, tdac))
+    imdct_s, rec2 = _timed(lambda: zaftpu.imdct(out, tdac))
     rec2_h = np.asarray(rec2).astype(np.float64)
     n2 = min(len(rec2_h), len(ref))
     snr2 = 10 * np.log10(float((ref[:n2] ** 2).sum())
