@@ -74,5 +74,5 @@ run_stage stft_engines 4500 python scripts/tpu_stages/s8_stft_engines.py
 run_stage stft_breakdown 1500 python scripts/tpu_stages/s11_stft_breakdown.py
 # 3 arms x up to 1200 s subprocess budget each + slack.
 run_stage suite      4200 python scripts/tpu_stages/s10_suite.py
-echo "session complete"
 run_stage revgemm_probe 1200 python scripts/probes/probe_revgemm.py
+echo "session complete"
