@@ -113,3 +113,29 @@ def test_read_span_zero_fill(wav):
     tail = reader.read_span(reader.frames - 50, 200)
     np.testing.assert_array_equal(tail[50:], 0)
     np.testing.assert_allclose(tail[:50], signal[-50:], atol=1e-4)
+
+
+def test_streaming_mfcc_matches_whole(wav):
+    path, signal = wav
+    win = hamming(WL)
+    fbank = zaftpu.melfilterbank(44100, WL, 32)
+    whole = np.asarray(zaftpu.mfcc(
+        signal.astype(np.float32), win.astype(np.float32), STEP, fbank, 13))
+    from zaftpu.io.pipeline import streaming_mfcc
+
+    streamed = streaming_mfcc(path, win, STEP, fbank, 13, block_frames=41)
+    assert streamed.shape == whole.shape
+    np.testing.assert_allclose(streamed, whole, atol=1e-3)
+
+
+def test_streaming_cqt_matches_whole(wav):
+    path, signal = wav
+    kern = zaftpu.cqtkernel(44100, 12, 110.0, 3520.0)
+    whole = np.asarray(zaftpu.cqtspectrogram(
+        signal.astype(np.float32), 44100, 25, kern))
+    from zaftpu.io.pipeline import streaming_cqtspectrogram
+
+    streamed = streaming_cqtspectrogram(path, 44100, 25, kern,
+                                        block_frames=7)
+    assert streamed.shape == whole.shape
+    np.testing.assert_allclose(streamed, whole, atol=1e-4)

@@ -156,3 +156,90 @@ def streaming_melspectrogram(path, window, step: int, mel_filterbank,
     st = StreamingTransform(path, wl, step, pad_front, t, block_fn,
                             block_frames, checkpoint_dir)
     return st.run().T
+
+
+def streaming_mfcc(path, window, step: int, mel_filterbank,
+                   number_coefficients: int, block_frames: int = 4096,
+                   checkpoint_dir: str | None = None):
+    """MFCCs ``(number_coefficients, T)`` of an arbitrarily long WAV,
+    resumable — the zaf.py:378-454 chain (power spectrogram -> mel matmul
+    -> log(+eps) -> orthonormal DCT-II -> coefficients 1..C) applied per
+    frame block."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import fft as _fft
+    from zaftpu.core import frame as _frame
+    from zaftpu.features.mel import _LOG_EPS, _as_dense, dct_ii_ortho_matrix
+
+    window = np.asarray(window, dtype=np.float32)
+    wl = len(window)
+    pad_front, t = _frame_plan(path, wl, step)
+    window_dev = jnp.asarray(window)
+    fbank = _as_dense(mel_filterbank).astype(np.float32)
+    fbank_t = jnp.asarray(fbank.T)
+    dct_t = jnp.asarray(dct_ii_ortho_matrix(fbank.shape[0])
+                        .T.astype(np.float32))
+    c = int(number_coefficients)
+
+    @jax.jit
+    def block_fn(samples):
+        b = (samples.shape[0] - (wl - step)) // step
+        frames = _frame.extract_frames(samples, wl, step, b)
+        power = jnp.abs(_fft.rfft(frames * window_dev))[:, 1:] ** 2
+        mel = jnp.matmul(power, fbank_t, preferred_element_type=power.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, dtype=mel.dtype))
+        cep = jnp.matmul(logmel, dct_t, preferred_element_type=logmel.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        return cep[:, 1:c + 1]
+
+    st = StreamingTransform(path, wl, step, pad_front, t, block_fn,
+                            block_frames, checkpoint_dir)
+    return st.run().T
+
+
+def streaming_cqtspectrogram(path, sampling_frequency, time_resolution,
+                             cqt_kernel, block_frames: int = 256,
+                             checkpoint_dir: str | None = None):
+    """CQT spectrogram ``(F, T)`` of an arbitrarily long WAV, resumable.
+
+    Frame geometry follows reference zaf.py:602-620: hop
+    ``round(sr/time_resolution)``, each frame reaching ``fft_length``
+    samples (the streaming "window length"), asymmetric centering pad.
+    The per-block body is the fused time-domain kernel matmul
+    (:func:`zaftpu.transforms.cqt._blocked_matmul_impl`), so no 32k FFT is
+    ever compiled."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import policy as _policy
+    from zaftpu.io.stream import BlockReader
+    from zaftpu.transforms import cqt as _cqt
+
+    kern = _cqt._as_kernel(cqt_kernel)
+    step = round(float(sampling_frequency) / float(time_resolution))
+    fft_length = kern.fft_length
+    reader = BlockReader(path, block_samples=1)
+    t = reader.frames // step
+    if t < 1:
+        raise ValueError("signal shorter than one CQT hop")
+    pad_front = int(np.ceil((fft_length - step) / 2))
+    kdtype = _policy.operator_dtype(np.float32)
+    m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
+
+    @jax.jit
+    def _block_jit(samples, mr, mi):
+        # Kernel operators ride as traced args, not 37 MB jaxpr constants.
+        b = (samples.shape[0] - (fft_length - step)) // step
+        need = _cqt._blocked_needed(b, step, fft_length)
+        padded = jnp.pad(samples, (0, max(0, need - samples.shape[0])))
+        return _cqt._blocked_matmul_impl(padded, mr, mi, step, fft_length,
+                                         b, min(b, block_frames))
+
+    def block_fn(samples):
+        return _block_jit(samples, m_real, m_imag)
+
+    st = StreamingTransform(path, fft_length, step, pad_front, t, block_fn,
+                            block_frames, checkpoint_dir)
+    return st.run().T
