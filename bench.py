@@ -369,6 +369,16 @@ def _supervise():
         # own 96 dB accuracy floor, so it can never be the reported rung.
         # The A/B numbers live in docs/tpu_results/stft_engines.json.)
     ]
+    # Transient wedges sometimes clear within minutes: spend a bounded
+    # slice of the deadline waiting for the tunnel before writing off the
+    # TPU rungs (a round-end artifact with a CPU fallback is much worse
+    # than 4 minutes of probing).
+    wait_budget = min(240.0, max(0.0, deadline - time.monotonic() - 900))
+    wait_end = time.monotonic() + wait_budget
+    while not _probe_tpu({}) and time.monotonic() < wait_end:
+        log("tunnel not answering — retrying probe in 60 s")
+        time.sleep(60)
+
     results = []
     tpu_dead = False
     for label, extra, timeout_s in ladder:
