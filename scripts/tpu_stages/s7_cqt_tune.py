@@ -21,7 +21,6 @@ def log(m):
 
 
 def worker():
-    import time
 
     import numpy as np
 
@@ -29,7 +28,6 @@ def worker():
     import jax.numpy as jnp
 
     import zaftpu
-    from zaftpu.utils.profiling import fetch_sync
 
     if jax.default_backend() != "tpu":
         print(json.dumps({"ok": False, "reason": "not on TPU"}))
@@ -46,13 +44,16 @@ def worker():
     mode = os.environ.get("ZAFTPU_CQT_TUNE_MODE", "f32")
     ctx = (zaftpu.compute_dtype("bfloat16") if mode == "bf16"
            else _null_ctx())
+    from zaftpu.utils.profiling import timed
+
     with ctx:
-        fetch_sync(run())
-        t0 = time.perf_counter()
-        for _ in range(5):
-            r = run()
-        fetch_sync(r)
-        sec = (time.perf_counter() - t0) / 5
+        # The repo-standard tunnel harness: dispatch-amortized with the
+        # idle-fetch subtracted (the first-cut fixed-5-reps timing left a
+        # ~0.2-0.5 s trailing fetch inside an ~45 ms window, reading ~2.7x
+        # low across every cell).
+        _, stats = timed("cqt_tune", run, reps=3, dispatches=8,
+                         target_s=2.0, log=False)
+        sec = stats.seconds
     print(json.dumps({"ok": True, "frames_per_s": round(frames / sec, 1),
                       "seconds": round(sec, 4)}))
     return 0
