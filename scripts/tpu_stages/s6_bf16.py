@@ -8,7 +8,6 @@ Prints ONE JSON line. Exits non-zero if the bf16 path is not yet available
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -23,7 +22,6 @@ def main():
 
     import zaftpu
     from zaftpu.core.windows import hamming
-    from zaftpu.utils.profiling import fetch_sync
 
     if jax.default_backend() != "tpu":
         print(json.dumps({"ok": False, "reason": "not on TPU"}))
@@ -41,13 +39,14 @@ def main():
     kern = zaftpu.cqtkernel(sr, 24, 55.0, 3520.0)
     out = {"ok": True}
 
+    from zaftpu.utils.profiling import timed
+
     def bench(name, fn, frames):
-        fetch_sync(fn())
-        t0 = time.perf_counter()
-        for _ in range(3):
-            r = fn()
-        fetch_sync(r)
-        sec = (time.perf_counter() - t0) / 3
+        # Repo-standard amortized harness (fixed-3-rep timing was
+        # fetch-dominated at these call times).
+        r, stats = timed(name, fn, reps=3, dispatches=8, target_s=2.0,
+                         log=False)
+        sec = stats.seconds
         out[name] = {"frames_per_s": round(frames / sec, 1),
                      "seconds": round(sec, 4)}
         log(f"{name}: {frames / sec:,.0f} fr/s")
