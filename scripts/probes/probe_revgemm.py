@@ -33,9 +33,14 @@ def gemms(fr):
     return re, im
 
 def rev1024(a):   # reverse a 1024-wide last axis: chunk flip + R128 GEMM
+    # precision=HIGHEST is required for bit-exactness: at DEFAULT the MXU
+    # truncates the data operand to bf16 before the permutation product.
+    # (R's own bf16 split is exact — 1.0 -> (1,0,0) — so HIGHEST's 6-pass
+    # reconstructs the f32 values exactly.)
     T = a.shape[0]
     c = a.reshape(T, 8, 128)[:, ::-1, :]
-    r = jnp.matmul(c, jnp.asarray(R), preferred_element_type=jnp.float32)
+    r = jnp.matmul(c, jnp.asarray(R), precision=hi,
+                   preferred_element_type=jnp.float32)
     return r.reshape(T, 1024)
 
 @jax.jit
