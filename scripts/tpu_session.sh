@@ -75,4 +75,5 @@ run_stage stft_breakdown 1500 python scripts/tpu_stages/s11_stft_breakdown.py
 # 3 arms x up to 1200 s subprocess budget each + slack.
 run_stage suite      4200 python scripts/tpu_stages/s10_suite.py
 run_stage revgemm_probe 1200 python scripts/probes/probe_revgemm.py
+run_stage mirror_probe 2100 python scripts/tpu_stages/s12_mirror_probe.py
 echo "session complete"

@@ -277,3 +277,76 @@ def test_conv_mode_batched(monkeypatch):
         if np.iscomplexobj(ref):
             np.testing.assert_allclose(got.imag, ref.imag,
                                        atol=3e-6 * np.abs(ref).max())
+
+
+def test_mirror_fold_kernels_interpret():
+    """Pallas mirror/fold plane kernels, both reversal strategies, must be
+    bit-exact vs the gather formulation's math (zaf.py:139 mirror;
+    zaf.py:223 Hermitian fold)."""
+    from zaftpu.pallas.mirror import fold_half_planes, mirror_full_planes
+
+    rng = np.random.default_rng(7)
+    t, n = 301, 2048
+    half = n // 2 + 1
+    hs = np.fft.rfft(rng.standard_normal((t, n)), axis=-1)
+    re = hs.real.astype(np.float32)
+    im = hs.imag.astype(np.float32)
+    ref = re + 1j * im
+    expected = np.concatenate([ref, np.conj(ref[:, -2:0:-1])], axis=1)
+    z = (rng.standard_normal((t, n))
+         + 1j * rng.standard_normal((t, n))).astype(np.complex64)
+    idx = np.array([(n - k) % n for k in range(half)])
+    h_ref = 0.5 * (z[:, :half] + np.conj(z[:, idx]))
+    for strategy in ("rev", "dot"):
+        fr, fi = mirror_full_planes(jnp.asarray(re), jnp.asarray(im), n,
+                                    strategy=strategy, interpret=True)
+        got = np.asarray(fr) + 1j * np.asarray(fi)
+        np.testing.assert_array_equal(got, expected)
+        hr, hi = fold_half_planes(jnp.asarray(z.real.copy()),
+                                  jnp.asarray(z.imag.copy()), n,
+                                  strategy=strategy, interpret=True)
+        goth = np.asarray(hr) + 1j * np.asarray(hi)
+        np.testing.assert_array_equal(goth, h_ref)
+
+
+def test_mirror_dispatch_matches_default(monkeypatch):
+    """Full stft()/istft() through ZAFTPU_MIRROR=pallas (interpret shim on
+    CPU) equals the default gather program bitwise."""
+    import functools
+
+    import jax
+
+    import zaftpu
+    from zaftpu.pallas import mirror as pmirror
+
+    monkeypatch.setattr(
+        pmirror, "mirror_full_planes",
+        functools.partial(pmirror.mirror_full_planes, interpret=True))
+    monkeypatch.setattr(
+        pmirror, "fold_half_planes",
+        functools.partial(pmirror.fold_half_planes, interpret=True))
+    # ZAFTPU_PALLAS=1 also routes framing/OLA through Pallas — shim those
+    # to interpret as well (CPU backend cannot compile Mosaic).
+    monkeypatch.setattr(
+        pframing, "frame_window",
+        functools.partial(pframing.frame_window, interpret=True))
+    monkeypatch.setattr(
+        pola, "overlap_add",
+        functools.partial(pola.overlap_add, interpret=True))
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    win = hamming(2048).astype(np.float32)
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    jax.clear_caches()
+    try:
+        ref = np.asarray(zaftpu.stft(sig, win, 1024))
+        rec_ref = np.asarray(zaftpu.istft(jnp.asarray(ref), win, 1024))
+        monkeypatch.setenv("ZAFTPU_MIRROR", "pallas")
+        monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+        jax.clear_caches()
+        out = np.asarray(zaftpu.stft(sig, win, 1024))
+        np.testing.assert_array_equal(out, ref)
+        rec = np.asarray(zaftpu.istft(jnp.asarray(ref), win, 1024))
+        np.testing.assert_array_equal(rec, rec_ref)
+    finally:
+        jax.clear_caches()

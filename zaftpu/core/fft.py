@@ -143,11 +143,31 @@ def full_from_half(half: jnp.ndarray, n: int) -> jnp.ndarray:
     """
     import jax
 
-    idx = jnp.asarray(_mirror_index(half.shape[-1], n))
     re, im = jnp.real(half), jnp.imag(half)
+    if _mirror_kernel_wanted(half, n):
+        from zaftpu.pallas import mirror as _mirror
+
+        re_f, im_f = _mirror.mirror_full_planes(
+            re, im, n, strategy=os.environ.get("ZAFTPU_MIRROR_STRATEGY",
+                                               "rev"))
+        return jax.lax.complex(re_f, im_f)
+    idx = jnp.asarray(_mirror_index(half.shape[-1], n))
     re_f = jnp.concatenate([re, re[..., idx]], axis=-1)
     im_f = jnp.concatenate([im, -im[..., idx]], axis=-1)
     return jax.lax.complex(re_f, im_f)
+
+
+def _mirror_kernel_wanted(half, n: int) -> bool:
+    """Opt-in Pallas mirror/fold kernels (``ZAFTPU_MIRROR=pallas``): the
+    lane reversal happens on VMEM tiles instead of an HBM-scale gather.
+    Off by default until proven under the remote Mosaic compiler."""
+    if os.environ.get("ZAFTPU_MIRROR") != "pallas":
+        return False
+    from zaftpu import pallas as _pallas
+    from zaftpu.pallas import mirror as _mirror
+
+    return (_pallas.enabled() and half.ndim == 2
+            and _mirror.supported(n, jnp.real(half).dtype))
 
 
 @lru_cache(maxsize=16)
@@ -360,10 +380,17 @@ def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
     # (docs/tpu_results/stft_breakdown.json). Arithmetic is per-component
     # identical to the complex form (conj negates imag), so the f64 oracle
     # is bit-unchanged.
-    idx_rev = jnp.asarray(_fold_index(n))
     zr, zi = jnp.real(z), jnp.imag(z)
-    h_re = 0.5 * (zr[..., :half] + zr[..., idx_rev])
-    h_im = 0.5 * (zi[..., :half] - zi[..., idx_rev])
+    if _mirror_kernel_wanted(z, n):
+        from zaftpu.pallas import mirror as _mirror
+
+        h_re, h_im = _mirror.fold_half_planes(
+            zr, zi, n, strategy=os.environ.get("ZAFTPU_MIRROR_STRATEGY",
+                                               "rev"))
+    else:
+        idx_rev = jnp.asarray(_fold_index(n))
+        h_re = 0.5 * (zr[..., :half] + zr[..., idx_rev])
+        h_im = 0.5 * (zi[..., :half] - zi[..., idx_rev])
     return (real_matmul(h_re, jnp.asarray(cos_m))
             - real_matmul(h_im, jnp.asarray(sin_m)))
 
