@@ -139,3 +139,145 @@ def test_streaming_cqt_matches_whole(wav):
                                         block_frames=7)
     assert streamed.shape == whole.shape
     np.testing.assert_allclose(streamed, whole, atol=1e-4)
+
+
+def test_streaming_mdct_matches_whole(wav):
+    path, signal = wav
+    from zaftpu.core.windows import vorbis
+    from zaftpu.io.pipeline import streaming_mdct
+
+    win = vorbis(WL)
+    whole = np.asarray(zaftpu.mdct(signal.astype(np.float32),
+                                   win.astype(np.float32)))
+    streamed = streaming_mdct(path, win, block_frames=23)
+    assert streamed.shape == whole.shape
+    np.testing.assert_allclose(streamed, whole, atol=1e-4)
+
+
+def test_streaming_istft_roundtrip(wav, tmp_path):
+    """streaming_istft(memmapped spectrogram) == whole-signal istft, via the
+    written WAV file."""
+    path, signal = wav
+    win = hamming(WL).astype(np.float32)
+    x = signal.astype(np.float32)
+    spec = np.asarray(zaftpu.stft(x, win, STEP))
+    whole = np.asarray(zaftpu.istft(spec, win, STEP))
+    # Source served from disk, memory-mapped — the hour-scale usage shape.
+    spec_path = tmp_path / "spec.npy"
+    np.save(spec_path, spec)
+    src = np.load(spec_path, mmap_mode="r")
+    out_path = tmp_path / "rec.wav"
+    from zaftpu.io.pipeline import streaming_istft
+
+    n = streaming_istft(src, win, STEP, out_path, 44100, block_frames=37)
+    assert n == whole.shape[0]
+    rec, sr = zaftpu.wavread(out_path)
+    assert sr == 44100
+    rec = rec[:, 0] if rec.ndim == 2 else rec
+    # 50% overlap -> two-term output sums -> identical math per sample; the
+    # f32 file round trip is exact for f32 synthesis.
+    np.testing.assert_allclose(rec, whole.astype(np.float64), atol=1e-6)
+    n = min(len(rec), len(x))
+    err = rec[:n] - x[:n]
+    snr = 10 * np.log10((x[:n] ** 2).sum() / (err**2).sum())
+    assert snr > 120.0
+
+
+def test_streaming_imdct_roundtrip(wav, tmp_path):
+    path, signal = wav
+    from zaftpu.core.windows import vorbis
+    from zaftpu.io.pipeline import streaming_imdct
+
+    win = vorbis(WL).astype(np.float32)
+    x = signal.astype(np.float32)
+    coeffs = np.asarray(zaftpu.mdct(x, win))
+    whole = np.asarray(zaftpu.imdct(coeffs, win))
+    out_path = tmp_path / "rec.wav"
+    n = streaming_imdct(coeffs, win, out_path, 44100, block_frames=29)
+    assert n == whole.shape[0]
+    rec, _ = zaftpu.wavread(out_path)
+    rec = rec[:, 0] if rec.ndim == 2 else rec
+    np.testing.assert_allclose(rec, whole.astype(np.float64), atol=1e-6)
+    n = min(len(rec), len(x))
+    err = rec[:n] - x[:n]
+    snr = 10 * np.log10((x[:n] ** 2).sum() / (err**2).sum())
+    assert snr > 120.0
+
+
+def test_streaming_synthesis_resume(tmp_path):
+    """A crashed synthesis job resumes from its carry/position checkpoint:
+    remaining blocks only, output file identical to an uninterrupted run."""
+    from zaftpu.io.pipeline import StreamingSynthesis
+    from zaftpu.io.wavstream import StreamingWavWriter
+
+    t, step, overlap, bf = 10, 4, 3, 3
+    rng = np.random.default_rng(7)
+    frames = rng.standard_normal((t, step + overlap)).astype(np.float32)
+    calls = []
+
+    def fetch(a, b):
+        return np.arange(a, b)
+
+    def block_fn(idx):
+        calls.append(len(idx))
+        b = len(idx)
+        out = np.zeros(b * step + overlap, np.float32)
+        for j, fi in enumerate(idx):  # plain OLA of the chosen frames
+            out[j * step: j * step + step + overlap] += frames[fi]
+        return out
+
+    trim, target = overlap, t * step - overlap
+
+    def run(out, ckpt, progress=None):
+        resume = ckpt is not None and (ckpt / "synthesis_state.npz").exists()
+        with StreamingWavWriter(out, 8000, resume=resume) as w:
+            s = StreamingSynthesis(
+                t, fetch, block_fn, step, overlap, trim, target, w,
+                block_frames=bf,
+                checkpoint_dir=str(ckpt) if ckpt else None)
+            return s.run(progress=progress)
+
+    ref = tmp_path / "ref.wav"
+    run(ref, None)
+    clean_calls = list(calls)
+    calls.clear()
+
+    class Boom(Exception):
+        pass
+
+    def fail_after_two(i, n):
+        if i >= 1:
+            raise Boom
+
+    out = tmp_path / "out.wav"
+    ckpt = tmp_path / "ck"
+    ckpt.mkdir()
+    with pytest.raises(Boom):
+        run(out, ckpt, progress=fail_after_two)
+    assert len(calls) == 2
+    n = run(out, ckpt)
+    assert len(calls) == 2 + (len(clean_calls) - 2)
+    assert n == target
+    a, _ = zaftpu.wavread(ref)
+    b, _ = zaftpu.wavread(out)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_wav_writer_resume(tmp_path):
+    from zaftpu.io.wavstream import StreamingWavWriter
+
+    path = tmp_path / "w.wav"
+    x = np.linspace(-1, 1, 100, dtype=np.float32)
+    w = StreamingWavWriter(path, 44100)
+    w.append(x[:60])
+    # Simulate a crash: no close(), header sizes still zero.
+    del w
+    w = StreamingWavWriter(path, 44100, resume=True)
+    assert w.frames_written == 60
+    w.truncate(40)  # roll back past a checkpoint
+    w.append(x[40:])
+    w.close()
+    back, sr = zaftpu.wavread(path)
+    back = back[:, 0] if np.asarray(back).ndim == 2 else back
+    assert sr == 44100
+    np.testing.assert_array_equal(np.asarray(back, dtype=np.float32), x)

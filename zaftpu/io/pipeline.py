@@ -199,6 +199,254 @@ def streaming_mfcc(path, window, step: int, mel_filterbank,
     return st.run().T
 
 
+def streaming_mdct(path, window, block_frames: int = 4096,
+                   checkpoint_dir: str | None = None):
+    """MDCT ``(WL/2, T)`` of an arbitrarily long WAV, resumable.
+
+    Reference zaf.py:984-1075 geometry: fixed 50% overlap (hop ``WL/2``),
+    ``T = ceil(N/(WL/2)) + 1``, ``WL/2`` zeros prepended. The per-block body
+    is the direct-GEMM MDCT operator (window folded with the framing, one
+    matmul per block)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu.core import frame as _frame
+    from zaftpu.core.policy import real_matmul
+    from zaftpu.transforms.mdct import _direct_forward_matrix
+
+    window = np.asarray(window, dtype=np.float32)
+    wl = len(window)
+    if wl % 2:
+        raise ValueError("MDCT window length must be even")
+    step = wl // 2
+    reader = BlockReader(path, block_samples=1)
+    t = int(np.ceil(reader.frames / step)) + 1
+    window_dev = jnp.asarray(window)
+    matrix = jnp.asarray(_direct_forward_matrix(wl).astype(np.float32))
+
+    @jax.jit
+    def block_fn(samples):
+        b = (samples.shape[0] - step) // step
+        frames = _frame.extract_frames(samples, wl, step, b)
+        return real_matmul(frames * window_dev, matrix)
+
+    st = StreamingTransform(path, wl, step, step, t, block_fn,
+                            block_frames, checkpoint_dir)
+    return st.run().T
+
+
+class StreamingSynthesis:
+    """Drive block-wise overlap-add synthesis into a WAV file, resumably.
+
+    The synthesis mirror of :class:`StreamingTransform`: coefficient columns
+    are pulled in blocks, each block's time-domain overlap-add is computed on
+    device, and the ``overlap`` trailing samples (partial sums reaching into
+    the next block) are carried forward — the same halo geometry the sharded
+    synthesis transforms exchange over ICI, here carried across time on one
+    host. Output samples stream to :class:`~zaftpu.io.wavstream.
+    StreamingWavWriter`; host and device memory stay bounded regardless of
+    signal length.
+
+    Failure recovery: after each block the carry and the output frame count
+    are checkpointed (atomic replace); a restarted job truncates the WAV to
+    the checkpoint and resumes at the next block.
+
+    Args:
+        number_times: total coefficient columns T.
+        fetch: ``(first_col, last_col) -> device columns`` for block_fn.
+        block_fn: ``(columns) -> time samples (n_cols*step + overlap,)`` —
+            the block's internal overlap-add, jitted.
+        step: synthesis hop in samples.
+        overlap: carried tail length (``window_length - step``).
+        trim_front: global samples dropped from the stream head.
+        target_len: global output length after trimming.
+        writer: open :class:`StreamingWavWriter`.
+        block_frames: coefficient columns per block.
+        checkpoint_dir: directory for resume state (None = no resume).
+    """
+
+    _STATE = "synthesis_state.npz"
+
+    def __init__(self, number_times: int, fetch, block_fn, step: int,
+                 overlap: int, trim_front: int, target_len: int, writer,
+                 block_frames: int = 4096,
+                 checkpoint_dir: str | None = None):
+        self.number_times = int(number_times)
+        self.fetch = fetch
+        self.block_fn = block_fn
+        self.step = int(step)
+        self.overlap = int(overlap)
+        self.trim_front = int(trim_front)
+        self.target_len = int(target_len)
+        self.writer = writer
+        self.block_frames = int(block_frames)
+        self.checkpoint_dir = checkpoint_dir
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+    @property
+    def num_blocks(self) -> int:
+        return -(-self.number_times // self.block_frames)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, self._STATE)
+
+    def _emit(self, chunk: np.ndarray, pos: int) -> None:
+        """Write the part of untrimmed-stream samples ``[pos, pos+len)``
+        that falls inside the ``[trim_front, trim_front+target_len)``
+        window."""
+        lo = max(pos, self.trim_front)
+        hi = min(pos + chunk.shape[0], self.trim_front + self.target_len)
+        if hi > lo:
+            self.writer.append(chunk[lo - pos:hi - pos])
+
+    def run(self, progress=None) -> int:
+        """All blocks, resuming from the checkpoint; returns frames
+        written."""
+        first_block = 0
+        carry = None
+        pos = 0  # untrimmed-stream position of the next emit
+        if self.checkpoint_dir and os.path.exists(self._state_path()):
+            state = np.load(self._state_path())
+            first_block = int(state["next_block"])
+            carry = state["carry"]
+            pos = int(state["pos"])
+            self.writer.truncate(int(state["written"]))
+        for index in range(first_block, self.num_blocks):
+            first = index * self.block_frames
+            last = min(first + self.block_frames, self.number_times)
+            block = np.array(self.block_fn(self.fetch(first, last)))
+            if carry is not None and carry.shape[0]:
+                block[:self.overlap] += carry.astype(block.dtype)
+            if last == self.number_times:  # final block: flush the tail
+                emit_n = block.shape[0]
+                carry = np.zeros(0, dtype=block.dtype)
+            else:
+                emit_n = (last - first) * self.step
+                carry = block[emit_n:]
+            self._emit(block[:emit_n], pos)
+            pos += emit_n
+            if self.checkpoint_dir:
+                tmp = self._state_path() + f".tmp{os.getpid()}.npz"
+                np.savez(tmp, next_block=index + 1, carry=carry, pos=pos,
+                         written=self.writer.frames_written)
+                os.replace(tmp, self._state_path())
+            if progress:
+                progress(index, self.num_blocks)
+        return self.writer.frames_written
+
+
+def _columns(source, first: int, last: int) -> np.ndarray:
+    """Coefficient columns ``[first, last)`` from an array-like ``(F, T)``
+    source (in-memory array, ``np.memmap``, ``np.load(mmap_mode=...)``)."""
+    return np.ascontiguousarray(np.asarray(source[:, first:last]))
+
+
+def streaming_istft(audio_stft, window, step: int, out_path,
+                    sampling_frequency: int, block_frames: int = 4096,
+                    checkpoint_dir: str | None = None) -> int:
+    """Inverse STFT streamed to a WAV file, resumable.
+
+    The synthesis mirror of :func:`streaming_spectrogram`: ``audio_stft``
+    columns (the full complex ``(WL, T)`` spectrum, reference zaf.py:144-243
+    semantics — e.g. a ``np.memmap``/``np.load(..., mmap_mode="r")`` of an
+    hour-scale spectrogram) are inverted block-by-block and overlap-added
+    across block boundaries via a carried halo; samples append to
+    ``out_path`` as float32 WAV. Bit-identical to ``zaftpu.istft`` for 50%
+    overlap (two-term output sums are order-independent); for deeper overlap
+    the block-boundary accumulation order differs by float rounding only.
+
+    Returns the number of samples written
+    (``T*step - window_length + step``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu import pallas as _pallas
+    from zaftpu.core import frame as _frame
+    from zaftpu.core import validate as _validate
+    from zaftpu.io.wavstream import StreamingWavWriter
+    from zaftpu.utils.devcache import as_device_array
+
+    window = np.asarray(_validate.check_window(window))
+    wl = len(window)
+    step = _validate.check_step(step, wl)
+    t = int(audio_stft.shape[1])
+    gain = _frame.cola_gain(window, step)
+    _validate.check_cola(window, step, gain)
+
+    @jax.jit
+    def block_fn(cols):
+        signal = _pallas.real_ifft_overlap_add(jnp.swapaxes(cols, -1, -2),
+                                               step)
+        return signal / jnp.asarray(gain, dtype=signal.dtype)
+
+    def fetch(first, last):
+        return as_device_array(_columns(audio_stft, first, last))
+
+    resume = bool(checkpoint_dir) and os.path.exists(
+        os.path.join(checkpoint_dir, StreamingSynthesis._STATE))
+    with StreamingWavWriter(out_path, sampling_frequency,
+                            resume=resume) as writer:
+        synth = StreamingSynthesis(
+            t, fetch, block_fn, step, wl - step, trim_front=wl - step,
+            target_len=t * step - wl + step, writer=writer,
+            block_frames=block_frames, checkpoint_dir=checkpoint_dir)
+        return synth.run()
+
+
+def streaming_imdct(audio_mdct, window, out_path, sampling_frequency: int,
+                    block_frames: int = 4096,
+                    checkpoint_dir: str | None = None) -> int:
+    """Inverse MDCT (TDAC) streamed to a WAV file, resumable.
+
+    ``audio_mdct`` is the ``(F, T)`` coefficient matrix (reference
+    zaf.py:1078-1184 semantics); per block the folded inverse operator
+    (window baked into its columns) runs one GEMM and the TDAC overlap-add,
+    carrying ``F`` halo samples between blocks. TDAC sums are two-term, so
+    the result is bit-identical to ``zaftpu.imdct``. Returns samples written
+    (``F*(T+1) - 2F - 1``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zaftpu import pallas as _pallas
+    from zaftpu.core.policy import real_matmul
+    from zaftpu.io.wavstream import StreamingWavWriter
+    from zaftpu.transforms.mdct import (_direct_inverse_windowed_matrix,
+                                        _host_window_bytes)
+    from zaftpu.utils.devcache import as_device_array
+
+    window = np.asarray(window)
+    f = int(audio_mdct.shape[0])
+    if len(window) != 2 * f:
+        raise ValueError(f"window length must be 2*number_frequencies = "
+                         f"{2 * f}, got {len(window)}")
+    t = int(audio_mdct.shape[1])
+    dtype = np.float64 if np.asarray(audio_mdct[:1, :1]).dtype == np.float64 \
+        else np.float32
+    matrix = jnp.asarray(
+        _direct_inverse_windowed_matrix(f, _host_window_bytes(window))
+        .astype(dtype))
+
+    @jax.jit
+    def block_fn(cols):
+        frames = real_matmul(cols, matrix)  # (b, 2F)
+        return _pallas.overlap_add(frames, f)
+
+    def fetch(first, last):
+        return as_device_array(_columns(audio_mdct, first, last).T
+                               .astype(dtype))
+
+    resume = bool(checkpoint_dir) and os.path.exists(
+        os.path.join(checkpoint_dir, StreamingSynthesis._STATE))
+    with StreamingWavWriter(out_path, sampling_frequency,
+                            resume=resume) as writer:
+        synth = StreamingSynthesis(
+            t, fetch, block_fn, f, overlap=f, trim_front=f,
+            target_len=f * (t + 1) - 2 * f - 1, writer=writer,
+            block_frames=block_frames, checkpoint_dir=checkpoint_dir)
+        return synth.run()
+
+
 def streaming_cqtspectrogram(path, sampling_frequency, time_resolution,
                              cqt_kernel, block_frames: int = 256,
                              checkpoint_dir: str | None = None):
