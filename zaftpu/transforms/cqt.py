@@ -207,10 +207,13 @@ def _evict_kernel(key):
 
 
 # Frames per on-device block: bounds the gathered-frames buffer at
-# block * fft_length * 4 bytes (~17 MB at 128). ZAFTPU_CQT_BLOCK overrides
+# block * fft_length * 4 bytes (~34 MB at 256). ZAFTPU_CQT_BLOCK overrides
 # for hardware tuning (larger blocks amortize per-block overhead and give
-# the MXU taller matmuls; see scripts/tpu_stages/s7_cqt_tune.py).
-_BLOCK_FRAMES = int(os.environ.get("ZAFTPU_CQT_BLOCK", "128"))
+# the MXU taller matmuls). Default 256 = the best f32/HIGHEST cell of the
+# amortized v5e sweep (938k fr/s vs 878k at 128; bf16 keeps climbing to
+# block 1024 — 2.06M fr/s — so bf16 users should raise it; see
+# scripts/tpu_stages/s7_cqt_tune.py and docs/tpu_results/cqt_tune.json).
+_BLOCK_FRAMES = int(os.environ.get("ZAFTPU_CQT_BLOCK", "256"))
 
 
 @partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
