@@ -19,9 +19,12 @@ probe_alive() {  # cheap mid-session wedge detector (60 s, cached compile)
 run_stage() {  # run_stage <name> <timeout_s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   if [ -s "$RES/$name.json" ]; then
-    # A result that itself reports failure ("ok": false) is not done — a
-    # stage may emit JSON describing a mid-run tunnel wedge; retry those.
-    if grep -q '"ok": *false' "$RES/$name.json"; then
+    # A result whose TOP-LEVEL ok is false is not done — a stage may emit
+    # JSON describing a mid-run tunnel wedge; retry those. Only the
+    # top-level key counts: per-case {"ok": false} entries inside an
+    # otherwise-successful probe result (e.g. fused_probe's known-failing
+    # Mosaic cases) must NOT trigger a rerun every session.
+    if ! python -c "import json,sys; d=json.load(open('$RES/$name.json')); sys.exit(0 if d.get('ok', True) else 1)" 2>/dev/null; then
       echo "stage $name: previous result has ok=false — rerunning"
       rm -f "$RES/$name.json"
     else
