@@ -57,6 +57,14 @@ def worker():
         "stft_frames_per_s": round(frames / stft_s, 1),
         "istft_frames_per_s": round(frames / stats.seconds, 1),
     }
+    # A Mosaic rejection latches mark_broken and the guarded retry measures
+    # the XLA fallback instead — indistinguishable from a working kernel by
+    # numbers alone (exactly what happened to the rev arm in r2, ADVICE.md).
+    # Record whether the Pallas path was actually live when we timed.
+    if os.environ.get("ZAFTPU_MIRROR") == "pallas":
+        import zaftpu.pallas as _zp
+
+        out["fallback"] = bool(_zp._broken) or not _zp.enabled()
     # Bit-equality vs the gather formulation computed in-process: a second
     # trace with the kernel dispatch disabled.
     if os.environ.get("ZAFTPU_MIRROR") == "pallas":
