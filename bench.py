@@ -357,11 +357,9 @@ def _supervise():
         # on TPU (docs/tpu_results/stft_engines.json), Pallas framing on.
         ("TPU", {}, budget),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
-        # (No conv rung: ZAFTPU_STFT=conv fails on this hardware at 10-min
-        # segment scale — RESOURCE_EXHAUSTED here, worker timeout in the s8
-        # engine A/B, a device error on conv_transpose in the s10 suite —
-        # so it can never be the reported rung; it remains a CPU-validated
-        # opt-in formulation.)
+        # (The former ZAFTPU_STFT=conv rung was removed with the lever: it
+        # failed on this hardware at 10-min segment scale — see
+        # docs/perf.md history.)
         ("TPU (native FFT)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "native"}, budget),
         # (The 3-pass ZAFTPU_PRECISION=high rung is deliberately absent: its

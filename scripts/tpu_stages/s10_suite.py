@@ -4,7 +4,6 @@ conv formulation.
 Runs ``zaftpu.bench.harness`` (every public transform, 2 min of the real
 fixture, 3-rep warm averages) in worker subprocesses — once with the
 default dispatch (ZAFTPU_FFT=auto -> GEMM engine + Pallas framing) and once
-with ``ZAFTPU_STFT=conv`` (strided-conv formulations, incl. the conv CQT)
 — and folds the per-transform JSON lines into ONE stage result: the TPU
 columns for docs/perf.md's per-transform table.
 """
@@ -48,9 +47,8 @@ def main():
             # 4-pass bf16-split GEMMs framework-wide (every exact-path real
             # matmul routes through policy.real_matmul): per-transform
             # numbers for the fastest gate-passing precision dial.
-            "split4": run_arm({"ZAFTPU_PRECISION": "split4"}),
-            "conv": run_arm({"ZAFTPU_STFT": "conv"})}
-    # conv/split4 are informational; the default column gates rerun.
+            "split4": run_arm({"ZAFTPU_PRECISION": "split4"})}
+    # split4 is informational; the default column gates rerun.
     print(json.dumps({"ok": arms["default"]["arm_ok"], "arms": arms}))
     return 0
 

@@ -89,9 +89,8 @@ def worker():
         "ok": True,
         "fft": os.environ.get("ZAFTPU_FFT", "auto"),
         "pallas": os.environ.get("ZAFTPU_PALLAS", "auto"),
-        "stft_mode": os.environ.get("ZAFTPU_STFT",
-                                    "fused" if os.environ.get("ZAFTPU_FUSED")
-                                    else "default"),
+        "stft_mode": ("fused" if os.environ.get("ZAFTPU_FUSED")
+                      else "default"),
         "precision": os.environ.get("ZAFTPU_PRECISION", "highest"),
         "compile_s": round(compile_s, 2),
         "stft_frames_per_s": round(frames / stft_s, 1),
@@ -119,9 +118,6 @@ ARMS = (
     ("auto_default", {}),
     # Opt-in fused framing+window+DFT Pallas kernel (frames never in HBM).
     ("fused", {"ZAFTPU_FUSED": "1"}),
-    # STFT/ISTFT as single strided conv / conv_transpose (XLA-owned fusion
-    # of framing+window+DFT and inverse-DFT+OLA — no Pallas needed).
-    ("conv", {"ZAFTPU_STFT": "conv"}),
 )
 
 

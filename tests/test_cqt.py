@@ -152,25 +152,3 @@ def test_cqt_inside_two_user_jits_no_tracer_leak():
     np.testing.assert_allclose(b, 2.0 * a, rtol=1e-6)
 
 
-def test_conv_cqt_matches_default(monkeypatch):
-    """Conv-mode CQT (kernel operators as conv channels, no gathered frame
-    blocks) must match the blocked-matmul fused path."""
-    import jax
-    import numpy as np
-
-    import zaftpu
-
-    rng = np.random.default_rng(17)
-    x = rng.standard_normal(44100 * 5).astype(np.float32)
-    kern = zaftpu.cqtkernel(44100, 24, 55, 3520)
-    ref = np.asarray(zaftpu.cqtspectrogram(x, 44100, 25, kern))
-    ref_ch = np.asarray(zaftpu.cqtchromagram(x, 44100, 25, 24, kern))
-    monkeypatch.setenv("ZAFTPU_STFT", "conv")
-    jax.clear_caches()
-    out = np.asarray(zaftpu.cqtspectrogram(x, 44100, 25, kern))
-    out_ch = np.asarray(zaftpu.cqtchromagram(x, 44100, 25, 24, kern))
-    monkeypatch.delenv("ZAFTPU_STFT")
-    jax.clear_caches()
-    np.testing.assert_allclose(out, ref, atol=3e-6 * np.abs(ref).max())
-    np.testing.assert_allclose(out_ch, ref_ch,
-                               atol=3e-6 * np.abs(ref_ch).max())

@@ -176,109 +176,6 @@ def test_fused_stft_dispatch_matches_xla(monkeypatch):
     np.testing.assert_allclose(out.imag, ref.imag, atol=3e-6 * scale)
 
 
-def test_conv_stft_istft_matches_default(monkeypatch):
-    """ZAFTPU_STFT=conv: analysis as one strided conv (window folded into
-    the DFT filter), synthesis as one conv_transpose (inverse GEMMs +
-    overlap-add in the filter). Values must match the default program,
-    including non-Hermitian (masked) ISTFT semantics (zaf.py:222-233)."""
-    import jax
-
-    import zaftpu
-
-    rng = np.random.default_rng(7)
-    sig = rng.standard_normal(50000).astype(np.float32)
-    win = hamming(2048).astype(np.float32)
-    spec = zaftpu.stft(sig, win, 1024)
-    ref_rec = np.asarray(zaftpu.istft(spec, win, 1024))
-    mask = np.ones(spec.shape, np.float32)
-    mask[100:400, :] = 0.0
-    spec_m = jnp.asarray(np.asarray(spec) * mask)
-    ref_m = np.asarray(zaftpu.istft(spec_m, win, 1024))
-
-    monkeypatch.setenv("ZAFTPU_STFT", "conv")
-    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
-    jax.clear_caches()
-    spec_c = np.asarray(zaftpu.stft(sig, win, 1024))
-    rec = np.asarray(zaftpu.istft(spec, win, 1024))
-    rec_m = np.asarray(zaftpu.istft(spec_m, win, 1024))
-    monkeypatch.delenv("ZAFTPU_STFT")
-    monkeypatch.delenv("ZAFTPU_FFT")
-    jax.clear_caches()
-
-    scale = np.abs(np.asarray(spec)).max()
-    np.testing.assert_allclose(spec_c.real, np.asarray(spec).real,
-                               atol=3e-6 * scale)
-    np.testing.assert_allclose(spec_c.imag, np.asarray(spec).imag,
-                               atol=3e-6 * scale)
-    np.testing.assert_allclose(rec, ref_rec,
-                               atol=3e-6 * np.abs(ref_rec).max())
-    np.testing.assert_allclose(rec_m, ref_m,
-                               atol=3e-6 * max(np.abs(ref_m).max(), 1e-9))
-
-
-def test_conv_mdct_imdct_matches_default(monkeypatch):
-    """Conv-mode MDCT/IMDCT (folded operator + TDAC window in the conv
-    filter) must match the default program, incl. the reference's KBD
-    window whose length 2046 is not Pallas-aligned (zaf.py:1004-1010)."""
-    import jax
-
-    import zaftpu
-    from zaftpu.core.windows import kbd
-
-    rng = np.random.default_rng(11)
-    sig = rng.standard_normal(50000).astype(np.float32)
-    for win in (vorbis(2048).astype(np.float32),
-                kbd(2048).astype(np.float32)):
-        ref = np.asarray(zaftpu.mdct(sig, win))
-        ref_rec = np.asarray(zaftpu.imdct(jnp.asarray(ref), win))
-        monkeypatch.setenv("ZAFTPU_STFT", "conv")
-        monkeypatch.setenv("ZAFTPU_FFT", "matmul")
-        jax.clear_caches()
-        out = np.asarray(zaftpu.mdct(sig, win))
-        rec = np.asarray(zaftpu.imdct(jnp.asarray(ref), win))
-        monkeypatch.delenv("ZAFTPU_STFT")
-        monkeypatch.delenv("ZAFTPU_FFT")
-        jax.clear_caches()
-        np.testing.assert_allclose(out, ref, atol=3e-6 * np.abs(ref).max())
-        np.testing.assert_allclose(rec, ref_rec,
-                                   atol=3e-6 * np.abs(ref_rec).max())
-
-
-def test_conv_mode_batched(monkeypatch):
-    """Conv-mode transforms ride the convolution batch dim for leading
-    axes — values identical to the default batched programs."""
-    import jax
-
-    import zaftpu
-
-    rng = np.random.default_rng(13)
-    xb = rng.standard_normal((3, 30000)).astype(np.float32)
-    win = hamming(2048).astype(np.float32)
-    wv = vorbis(2048).astype(np.float32)
-    spec = zaftpu.stft(xb, win, 1024)
-    rec_ref = np.asarray(zaftpu.istft(spec, win, 1024))
-    md = zaftpu.mdct(xb, wv)
-    md_rec_ref = np.asarray(zaftpu.imdct(md, wv))
-    monkeypatch.setenv("ZAFTPU_STFT", "conv")
-    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
-    jax.clear_caches()
-    outs = [np.asarray(zaftpu.stft(xb, win, 1024)),
-            np.asarray(zaftpu.istft(spec, win, 1024)),
-            np.asarray(zaftpu.mdct(xb, wv)),
-            np.asarray(zaftpu.imdct(md, wv))]
-    monkeypatch.delenv("ZAFTPU_STFT")
-    monkeypatch.delenv("ZAFTPU_FFT")
-    jax.clear_caches()
-    for got, ref in zip(outs, [np.asarray(spec), rec_ref,
-                               np.asarray(md), md_rec_ref]):
-        assert got.shape == ref.shape
-        np.testing.assert_allclose(got.real, ref.real,
-                                   atol=3e-6 * np.abs(ref).max())
-        if np.iscomplexobj(ref):
-            np.testing.assert_allclose(got.imag, ref.imag,
-                                       atol=3e-6 * np.abs(ref).max())
-
-
 def test_mirror_fold_kernels_interpret():
     """Pallas mirror/fold plane kernels, both reversal strategies, must be
     bit-exact vs the gather formulation's math (zaf.py:139 mirror;
@@ -347,6 +244,12 @@ def test_mirror_dispatch_matches_default(monkeypatch):
         out = np.asarray(zaftpu.stft(sig, win, 1024))
         np.testing.assert_array_equal(out, ref)
         rec = np.asarray(zaftpu.istft(jnp.asarray(ref), win, 1024))
-        np.testing.assert_array_equal(rec, rec_ref)
+        # The default engine ISTFT folds the COLA gain into the inverse
+        # operator and contracts the Hermitian fold bins-major
+        # (core.fft.direct_real_ifft_t); the Pallas-mirror path keeps the
+        # lane fold + post-division — a legitimately different f32
+        # accumulation order, so float-noise close rather than bitwise.
+        np.testing.assert_allclose(rec, rec_ref,
+                                   atol=2e-5 * np.abs(rec_ref).max())
     finally:
         jax.clear_caches()

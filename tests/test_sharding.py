@@ -242,38 +242,6 @@ def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch):
     assert snr_db(signal, rec) > 250.0
 
 
-def test_conv_mode_does_not_leak_into_sharded(signal, mesh, monkeypatch):
-    """``ZAFTPU_STFT=conv`` is a single-device dispatch lever only: sharded
-    transforms keep the one canonical framed engine, so their values never
-    depend on an env var (or on shard count). With conv mode active, the
-    sharded STFT must still match the framed single-device program
-    bit-for-bit, while the conv single-device program is merely close."""
-    import jax
-
-    x32 = signal.astype(np.float32)
-    win32 = hamming(WL).astype(np.float32)
-    monkeypatch.setenv("ZAFTPU_FFT", "matmul")   # conv needs the GEMM engine
-    # Env dials are read at trace time: clear caches around each toggle or
-    # the second stft call would silently reuse the first trace and every
-    # assertion below would be vacuous.
-    jax.clear_caches()
-    try:
-        framed_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
-        monkeypatch.setenv("ZAFTPU_STFT", "conv")
-        jax.clear_caches()
-        conv_ref = np.asarray(zaftpu.stft(x32, win32, STEP))
-        out = np.asarray(stft_sharded(x32, win32, STEP, mesh))
-        # Sharded == framed single-device exactly, independent of conv mode.
-        np.testing.assert_array_equal(out, framed_ref)
-        # ... and the conv program itself is only float-noise away — and a
-        # genuinely different program (would be identical if the cache
-        # leaked).
-        diff = np.max(np.abs(conv_ref - framed_ref))
-        assert 0.0 < diff < 5e-4  # measured ~1.2e-4 f32 accumulation noise
-    finally:
-        jax.clear_caches()  # drop conv traces so later tests retrace
-
-
 def test_cqt_tp_2d_mesh(signal):
     """TP CQT on the 2-D batch x frames mesh with a batched signal — the
     CLAUDE.md sharded-op test matrix's 2-D row for cqtspectrogram_tp."""

@@ -157,6 +157,33 @@ def full_from_half(half: jnp.ndarray, n: int) -> jnp.ndarray:
     return jax.lax.complex(re_f, im_f)
 
 
+def full_from_half_t(half: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Bins-major full spectrum ``(..., n, T)`` from rfft output
+    ``(..., T, n//2+1)`` — same values as
+    ``swapaxes(full_from_half(half, n), -1, -2)``.
+
+    The conjugate mirror here is a *major-axis* reversed slice in the final
+    layout instead of :func:`full_from_half`'s lane-dimension gather:
+    reversing lanes (the minor dimension) is a slow relayout on TPU and the
+    gather formulation measured 5.5 ms of the 15.0 ms 10-min STFT — 37% of
+    the transform for pure data movement
+    (docs/tpu_results/stft_breakdown.json). Reversing sublane blocks is a
+    cheap copy, and XLA fuses the transpose + reversed-slice concat + complex
+    assembly into the output write. ``real()/imag()`` of an upstream
+    ``lax.complex`` fuse away, so the half spectrum is never materialized as
+    complex.
+    """
+    import jax
+
+    re = jnp.swapaxes(jnp.real(half), -1, -2)
+    im = jnp.swapaxes(jnp.imag(half), -1, -2)
+    m = n - half.shape[-1]  # number of mirrored interior bins
+    rev = (Ellipsis, slice(m, 0, -1), slice(None))
+    re_f = jnp.concatenate([re, re[rev]], axis=-2)
+    im_f = jnp.concatenate([im, -im[rev]], axis=-2)
+    return jax.lax.complex(re_f, im_f)
+
+
 def _mirror_kernel_wanted(half, n: int) -> bool:
     """Opt-in Pallas mirror/fold kernels (``ZAFTPU_MIRROR=pallas``): the
     lane reversal happens on VMEM tiles instead of an HBM-scale gather.
@@ -311,11 +338,13 @@ def _direct_rdft_mats(n: int, rdtype_name: str):
 
 
 @lru_cache(maxsize=8)
-def _direct_ridft_half_mats(n: int, rdtype_name: str):
+def _direct_ridft_half_mats(n: int, rdtype_name: str, scale: float = 1.0):
     """Host-precomputed ``(N/2+1, N)`` inverse-DFT cos/sin matrices over the
     non-mirrored bins, with the conjugate-pair weights (2 for interior bins,
     1 for DC and — when N is even — Nyquist) and 1/N folded in (float64
-    math, cast to the target real dtype)."""
+    math, cast to the target real dtype). ``scale`` multiplies the operator
+    columns — callers fold a COLA gain division into the GEMM here, killing
+    the post-OLA elementwise pass (reference semantics zaf.py:241)."""
     half = n // 2 + 1
     k = np.arange(half)
     weights = np.full(half, 2.0)
@@ -323,9 +352,9 @@ def _direct_ridft_half_mats(n: int, rdtype_name: str):
     if n % 2 == 0:
         weights[-1] = 1.0
     ang = (2.0 * np.pi / n) * ((k[:, None] * np.arange(n)[None, :]) % n)
-    scale = (weights / n)[:, None]
-    return ((np.cos(ang) * scale).astype(rdtype_name),
-            (np.sin(ang) * scale).astype(rdtype_name))
+    row_scale = (weights * (float(scale) / n))[:, None]
+    return ((np.cos(ang) * row_scale).astype(rdtype_name),
+            (np.sin(ang) * row_scale).astype(rdtype_name))
 
 
 def direct_rfft(x: jnp.ndarray) -> jnp.ndarray:
@@ -401,6 +430,41 @@ def _fold_index(n: int):
     ``k = 0..N/2``."""
     k = np.arange(n // 2 + 1)
     return ((n - k) % n).astype(np.int32)
+
+
+def direct_real_ifft_t(z: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """``real(ifft(Zᵀ)) * scale`` frames ``(..., T, N)`` from *bins-major*
+    spectra ``(..., N, T)`` — same values as
+    ``direct_real_ifft(swapaxes(z, -1, -2)) * scale``.
+
+    The Hermitian fold runs along the *major* axis of the input layout
+    (reversed sublane-block slice) instead of :func:`direct_real_ifft`'s
+    lane gather after a complex transpose — the lane formulation measured
+    ~5 ms of the 14.7 ms 10-min ISTFT (docs/tpu_results/stft_breakdown.json;
+    same relayout pathology as the forward mirror). ``scale`` folds a COLA
+    gain division into the host-precomputed inverse operator (exact linear
+    algebra; rounding differs from a post-division by ≤1 ulp).
+    """
+    from zaftpu.core.policy import real_matmul_tn
+
+    n = z.shape[-2]
+    half = n // 2 + 1
+    rdtype = jnp.result_type(jnp.real(z), jnp.float32)
+    cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name,
+                                           float(scale))
+    zr, zi = jnp.real(z), jnp.imag(z)
+    # Fold rows (N - k) mod N for k = 0..N/2: row 0, then rows N-1..N-half+1
+    # as one reversed contiguous slice along the major axis.
+    rev = (Ellipsis, slice(None, n - half, -1), slice(None))
+    top = (Ellipsis, slice(0, half), slice(None))
+    h_re = 0.5 * (zr[top] + jnp.concatenate([zr[..., :1, :], zr[rev]],
+                                            axis=-2))
+    h_im = 0.5 * (zi[top] - jnp.concatenate([zi[..., :1, :], zi[rev]],
+                                            axis=-2))
+    # Contraction over the bin axis without a materialized transpose:
+    # einsum('...kt,kn->...tn') keeps the fold output in its natural layout.
+    return (real_matmul_tn(h_re, jnp.asarray(cos_m))
+            - real_matmul_tn(h_im, jnp.asarray(sin_m)))
 
 
 def real_ifft(spectra: jnp.ndarray) -> jnp.ndarray:

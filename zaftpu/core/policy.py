@@ -122,28 +122,37 @@ def _split4_matmul(a, b):
     """
     import jax
 
-    f32 = jnp.float32
-    a, b = jnp.asarray(a), jnp.asarray(b)
-    # The split MUST go through lax.reduce_precision: a plain
-    # f32->bf16->f32 cast round trip is elided by XLA's excess-precision
-    # rule on TPU, which zeroes the lo terms and silently collapses the
-    # whole scheme to one bf16 pass (measured 52.6 dB vs 109.2 dB with
-    # reduce_precision on the v5e chip).
-    ahf = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
-    bhf = jax.lax.reduce_precision(b, exponent_bits=8, mantissa_bits=7)
-    ah = ahf.astype(jnp.bfloat16)
-    al = (a - ahf).astype(jnp.bfloat16)
-    bh = bhf.astype(jnp.bfloat16)
-    bl = (b - bhf).astype(jnp.bfloat16)
     if jax.default_backend() == "tpu":
         def mm(x, y):
-            return jnp.matmul(x, y, preferred_element_type=f32)
+            return jnp.matmul(x, y, preferred_element_type=jnp.float32)
     else:
         # CPU XLA has no BF16 x BF16 -> F32 dot thunk; the bf16 -> f32 casts
         # are exact, so an f32 dot of the rounded operands computes the same
         # products the MXU single pass would.
         def mm(x, y):
-            return jnp.matmul(x.astype(f32), y.astype(f32))
+            return jnp.matmul(x.astype(jnp.float32), y.astype(jnp.float32))
+    return _split4_contract(a, b, mm)
+
+
+def _bf16_split(x):
+    """Exact bf16 pair ``(hi, lo)`` with ``x = hi + lo + eps``,
+    ``|eps| ~ 2^-17 |x|``. MUST go through ``lax.reduce_precision``: a plain
+    f32->bf16->f32 cast round trip is elided by XLA's excess-precision rule
+    on TPU, which zeroes the lo terms and silently collapses the split
+    scheme to one bf16 pass (measured 52.6 dB vs 109.2 dB with
+    reduce_precision on the v5e chip)."""
+    import jax
+
+    hf = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    return hf.astype(jnp.bfloat16), (x - hf).astype(jnp.bfloat16)
+
+
+def _split4_contract(a, b, mm):
+    """The four-pass bf16-split contraction over any GEMM-shaped ``mm``,
+    terms accumulated smallest-first in f32."""
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
     return ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
 
 
@@ -171,6 +180,34 @@ def real_matmul(a, b, bandwidth_bound=False):
         return _split4_matmul(a, b)
     return jnp.matmul(a, b, preferred_element_type=a.dtype,
                       precision=matmul_precision())
+
+
+def real_matmul_tn(a, b):
+    """``einsum('...kt,kn->...tn', a, b)`` honoring the precision dial — the
+    transposed-LHS twin of :func:`real_matmul` (contraction over the leading
+    axis of both operands, so a bins-major fold output feeds the MXU without
+    a materialized transpose — see :func:`zaftpu.core.fft.direct_real_ifft_t`).
+    """
+    import jax
+
+    def mm_hi(x, y):
+        return jnp.einsum("...kt,kn->...tn", x, y,
+                          preferred_element_type=x.dtype,
+                          precision=matmul_precision())
+
+    if (split4_enabled() and b.shape[-1] >= 256
+            and a.dtype == jnp.float32
+            and jnp.dtype(b.dtype) == jnp.float32):
+        if jax.default_backend() == "tpu":
+            def mm(x, y):
+                return jnp.einsum("...kt,kn->...tn", x, y,
+                                  preferred_element_type=jnp.float32)
+        else:
+            def mm(x, y):
+                return jnp.einsum("...kt,kn->...tn", x.astype(jnp.float32),
+                                  y.astype(jnp.float32))
+        return _split4_contract(a, b, mm)
+    return mm_hi(a, jnp.asarray(b).astype(a.dtype))
 
 
 def mxu_matmul(a, b, bandwidth_bound=False):

@@ -376,9 +376,9 @@ def streaming_istft(audio_stft, window, step: int, out_path,
 
     @jax.jit
     def block_fn(cols):
-        signal = _pallas.real_ifft_overlap_add(jnp.swapaxes(cols, -1, -2),
-                                               step)
-        return signal / jnp.asarray(gain, dtype=signal.dtype)
+        # Bins-major synthesis: major-axis Hermitian fold, COLA gain folded
+        # into the inverse operator on the engine path.
+        return _pallas.synthesis_ola(cols, step, gain)
 
     def fetch(first, last):
         return as_device_array(_columns(audio_stft, first, last))

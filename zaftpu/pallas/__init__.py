@@ -120,11 +120,6 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     from zaftpu.core import fft as _fft
     from zaftpu.pallas import fused as _fused
 
-    if (os.environ.get("ZAFTPU_STFT") == "conv"
-            and padded.dtype == jnp.float32
-            and _fft.direct_engine_enabled(window_length)):
-        return _fused.conv_frames_rfft(padded, window, window_length, step,
-                                       number_times)
     if (enabled() and os.environ.get("ZAFTPU_FUSED") == "1"
             and padded.ndim == 1
             and _fft.direct_engine_enabled(window_length)
@@ -146,18 +141,25 @@ def overlap_add(frames, step: int):
     return _xla_frame.overlap_add(frames, step)
 
 
-def real_ifft_overlap_add(spectra, step: int):
-    """Synthesis back end: ``overlap_add(real_ifft(spectra), step)``.
+def synthesis_ola(spectra, step: int, gain: float = 1.0):
+    """Synthesis back end from *bins-major* spectra ``(..., N, T)``:
+    ``overlap_add(real_ifft(spectraᵀ), step) / gain``.
 
-    Under ``ZAFTPU_STFT=conv`` this is one `lax.conv_transpose` (inverse
-    DFT GEMMs + scatter-add in the filter, no frame matrix in HBM);
-    otherwise the split real_ifft + OLA path with its own dispatch."""
+    On the direct-GEMM engine path the Hermitian fold runs along the major
+    axis of the input layout and the COLA gain division folds into the
+    inverse operator (:func:`zaftpu.core.fft.direct_real_ifft_t` — the lane
+    fold it replaces cost ~a third of the 10-min ISTFT,
+    docs/tpu_results/stft_breakdown.json); otherwise the split
+    transpose + real_ifft + OLA path with a post-division."""
     from zaftpu.core import fft as _fft
-    from zaftpu.pallas import fused as _fused
 
-    if (os.environ.get("ZAFTPU_STFT") == "conv" and spectra.ndim >= 2
-            and spectra.dtype == jnp.complex64
-            and _fft.direct_engine_enabled(spectra.shape[-1])):
-        return _fused.conv_real_ifft_ola(spectra, step)
-    frames = _fft.real_ifft(spectra)
-    return overlap_add(frames, step)
+    n = spectra.shape[-2]
+    if (_fft.direct_engine_enabled(n)
+            and not (os.environ.get("ZAFTPU_MIRROR") == "pallas")):
+        frames = _fft.direct_real_ifft_t(spectra, scale=1.0 / gain)
+        return overlap_add(frames, step)
+    frames = _fft.real_ifft(jnp.swapaxes(spectra, -1, -2))
+    out = overlap_add(frames, step)
+    if gain != 1.0:
+        out = out / jnp.asarray(gain, dtype=out.dtype)
+    return out

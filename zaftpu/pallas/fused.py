@@ -139,150 +139,3 @@ def frames_rfft(padded, window, window_length: int, step: int,
                         interpret=interpret)
     return jax.lax.complex(out[0, :, :f], out[1, :, :f])
 
-
-@lru_cache(maxsize=8)
-def _rdft_ops_flat(n: int):
-    """``(N, 2F)`` cos|sin rfft operator (columns concatenated), float32."""
-    from zaftpu.core.fft import _direct_rdft_mats
-
-    cos_m, sin_m = _direct_rdft_mats(n, "float32")
-    return np.concatenate([cos_m, sin_m], axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("window_length", "step",
-                                             "number_times", "precision"))
-def _conv_apply(padded, window, ops, window_length: int, step: int,
-                number_times: int, precision):
-    """``(windowed frames) @ ops`` as one strided convolution → real
-    ``(..., number_times, C)``. The (possibly traced) analysis window folds
-    into the filter on device — one elementwise pass over the C-column
-    operator per call, negligible next to the convolution itself. Leading
-    axes ride the convolution's batch dimension."""
-    filt = (window[:, None].astype(ops.dtype) * ops)[:, None, :]
-    need = (number_times - 1) * step + window_length
-    if padded.shape[-1] < need:
-        padded = jnp.pad(padded, [(0, 0)] * (padded.ndim - 1)
-                         + [(0, need - padded.shape[-1])])
-    lead = padded.shape[:-1]
-    lhs = padded[..., :need].reshape((-1, need, 1)).astype(ops.dtype)
-    out = jax.lax.conv_general_dilated(
-        lhs, filt, window_strides=(step,), padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=precision, preferred_element_type=ops.dtype)
-    out = out[:, :number_times, :]
-    return out.reshape(lead + out.shape[1:])
-
-
-@lru_cache(maxsize=8)
-def _ridft_ola_filter(n: int):
-    """``(N, 2*(N/2+1), 1)`` transposed-conv filter for the synthesis back
-    end: ``filt[u, k] = cos_m[k, u]`` / ``-sin_m[k-half, u]`` — the
-    Hermitian-folded inverse-DFT GEMM pair of ``core.fft.direct_real_ifft``
-    and the overlap-add fold into one ``lax.conv_transpose`` (the caller
-    feeds the folded half-spectrum channels)."""
-    from zaftpu.core.fft import _direct_ridft_half_mats
-
-    cos_m, sin_m = _direct_ridft_half_mats(n, "float32")
-    # conv_transpose(transpose_kernel=False) runs a fractionally-strided
-    # *correlation*, so the spatial axis must be pre-reversed for the
-    # scatter orientation out[r*step + u] += frames[r, u] (verified vs the
-    # split path in tests).
-    return np.ascontiguousarray(
-        np.concatenate([cos_m, -sin_m], axis=0).T[::-1])[:, :, None]
-
-
-@functools.partial(jax.jit, static_argnames=("step", "precision"))
-def _conv_ola(comp, filt, step: int, precision):
-    lead = comp.shape[:-2]
-    lhs = comp.reshape((-1,) + comp.shape[-2:])
-    out = jax.lax.conv_transpose(
-        lhs, filt, strides=(step,), padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
-        preferred_element_type=comp.dtype)
-    return out[..., 0].reshape(lead + (out.shape[1],))
-
-
-def conv_real_ifft_ola(spectra, step: int):
-    """``overlap_add(real_ifft(spectra), step)`` as ONE transposed
-    convolution (``ZAFTPU_STFT=conv`` synthesis back end).
-
-    ``spectra`` is the frames-major full complex STFT ``(T, N)``; output is
-    the OLA signal ``((T-1)*step + N,)``. The inverse-DFT operators and the
-    scatter-add pattern live in the conv filter, so neither the real frame
-    matrix nor a separate OLA pass touches HBM (reference synthesis chain
-    zaf.py:222-233)."""
-    from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import pinned_device_constant
-
-    n = spectra.shape[-1]
-    half = n // 2 + 1
-    filt = pinned_device_constant(_ridft_ola_filter(n), np.float32)
-    # Hermitian fold (see core.fft.direct_real_ifft): halves the conv's
-    # input channels and FLOPs while keeping arbitrary-spectrum semantics.
-    zrev = jnp.concatenate([spectra[..., :1], spectra[..., :0:-1]],
-                           axis=-1)[..., :half]
-    h = 0.5 * (spectra[..., :half] + jnp.conj(zrev))
-    comp = jnp.concatenate([jnp.real(h), jnp.imag(h)],
-                           axis=-1).astype(jnp.float32)
-    return _conv_ola(comp, filt, step, matmul_precision())
-
-
-def conv_frames_rfft(padded, window, window_length: int, step: int,
-                     number_times: int):
-    """Windowed-frames rfft as ONE strided convolution (``ZAFTPU_STFT=conv``).
-
-    The analysis window multiplies into the DFT filter, so framing +
-    windowing + both DFT GEMMs become a single `lax.conv_general_dilated`
-    with stride ``step`` — no frame matrix, no Pallas; XLA owns the
-    lowering. An A/B alternative to the Pallas fused kernel for the same
-    HBM-traffic goal (reference hot path zaf.py:94-141)."""
-    from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import pinned_device_constant
-
-    f = window_length // 2 + 1
-    ops = pinned_device_constant(_rdft_ops_flat(window_length), np.float32)
-    out = _conv_apply(padded, window, ops, window_length, step,
-                      number_times, matmul_precision())
-    return jax.lax.complex(out[..., :f], out[..., f:])
-
-
-def conv_frames_apply(padded, window, ops_np, window_length: int, step: int,
-                      number_times: int):
-    """Generic conv-mode analysis: ``(windowed frames) @ ops_np`` as one
-    strided convolution. Used by the MDCT's folded forward operator
-    (reference chain zaf.py:1047-1071)."""
-    from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import pinned_device_constant
-
-    ops = pinned_device_constant(ops_np, np.float32)
-    return _conv_apply(padded, window, ops, window_length, step,
-                       number_times, matmul_precision())
-
-
-@functools.partial(jax.jit, static_argnames=("step", "precision"))
-def _conv_transpose_apply(coeffs, window, ops, step: int, precision):
-    # Fold the synthesis window into the filter and pre-reverse the spatial
-    # axis on device (conv_transpose runs a fractionally strided
-    # correlation) — one elementwise + transpose pass per call.
-    filt = ops * window[None, :].astype(ops.dtype)
-    filt = jnp.flip(jnp.transpose(filt), 0)[:, :, None]
-    lead = coeffs.shape[:-2]
-    lhs = coeffs.reshape((-1,) + coeffs.shape[-2:]).astype(ops.dtype)
-    out = jax.lax.conv_transpose(
-        lhs, filt, strides=(step,),
-        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=precision, preferred_element_type=ops.dtype)
-    return out[..., 0].reshape(lead + (out.shape[1],))
-
-
-def conv_matmul_window_ola(coeffs, window, ops_np, step: int):
-    """Generic conv-mode synthesis: ``overlap_add((coeffs @ ops_np) *
-    window, step)`` as one ``lax.conv_transpose`` — the inverse operator,
-    the synthesis window, and the scatter-add all live in the filter. Used
-    by the IMDCT back end (zaf.py:1124-1184)."""
-    from zaftpu.core.policy import matmul_precision
-    from zaftpu.utils.devcache import pinned_device_constant
-
-    ops = pinned_device_constant(ops_np, np.float32)
-    return _conv_transpose_apply(coeffs, window, ops, step,
-                                 matmul_precision())

@@ -321,34 +321,6 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
     return out.reshape(blocks * block_frames, -1)[:number_times]
 
 
-def _conv_cqt_impl(padded, m_real, m_imag, step_length, fft_length,
-                   number_times, block_frames):
-    """Conv-mode CQT body (``ZAFTPU_STFT=conv``): the ``(fft_length, F)``
-    real/imag kernel operators become the channels of ONE strided
-    convolution over the signal — no gathered ``(B, fft_length)`` frame
-    blocks in HBM (the dominant traffic of the blocked-matmul body: the
-    frame matrix is ~19x the signal at the reference geometry
-    zaf.py:627-633)."""
-    f = m_real.shape[1]
-    # lax conv requires identical operand dtypes: under the bf16 policy the
-    # kernel operators arrive bfloat16 while the signal is f32 — promote
-    # the filter to the signal dtype (the MDCT conv path pins f32 the same
-    # way; the bf16 MXU trick doesn't apply to conv formulations).
-    filt = jnp.concatenate([m_real, m_imag],
-                           axis=1)[:, None, :].astype(padded.dtype)
-    need = (number_times - 1) * step_length + fft_length
-    if padded.shape[0] < need:
-        padded = jnp.pad(padded, (0, need - padded.shape[0]))
-    out = jax.lax.conv_general_dilated(
-        padded[:need][None, :, None], filt, window_strides=(step_length,),
-        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=_policy.matmul_precision(),
-        preferred_element_type=padded.dtype)
-    re = out[0, :number_times, :f]
-    im = out[0, :number_times, f:]
-    return jnp.sqrt(re * re + im * im)
-
-
 @partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
                                    "number_times", "block_frames",
                                    "octave_resolution"))
@@ -364,9 +336,7 @@ def _cqt_apply_matmul(signal, m_real, m_imag, pads, step_length, fft_length,
     axes are vmapped over the 1-D blocked body.
     """
     padded = _pad_last(signal, pads)
-    impl = (_conv_cqt_impl if os.environ.get("ZAFTPU_STFT") == "conv"
-            else _blocked_matmul_impl)
-    out = _batched_1d(impl)(
+    out = _batched_1d(_blocked_matmul_impl)(
         padded, m_real, m_imag, step_length, fft_length, number_times,
         block_frames)
     spec = jnp.swapaxes(out, -1, -2)                    # (..., F, T)

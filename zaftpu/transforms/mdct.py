@@ -16,7 +16,6 @@ two-shifted-view sum from ``zaftpu.core.frame``.
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
 
 import jax
@@ -152,35 +151,6 @@ def _host_window_bytes(window_function):
         np.asarray(window_function, dtype=np.float64)).tobytes()
 
 
-def _mdct_conv_core(audio_signal, window_function, matrix_np):
-    """Conv-mode MDCT: the folded (WL, WL/2) forward operator applied as
-    one strided convolution (``ZAFTPU_STFT=conv``) — framing + TDAC window
-    + GEMM in a single `lax.conv_general_dilated`."""
-    from zaftpu.pallas import fused as _fused
-
-    wl = window_function.shape[0]
-    step = wl // 2
-    n = audio_signal.shape[-1]
-    t = int(np.ceil(n / step)) + 1
-    padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
-                     + [(step, (t + 1) * step - n)])
-    out = _fused.conv_frames_apply(padded, window_function, matrix_np,
-                                   wl, step, t)
-    return jnp.swapaxes(out, -1, -2)
-
-
-def _imdct_conv_core(audio_mdct, window_function, matrix_np):
-    """Conv-mode inverse MDCT: inverse operator + window + TDAC overlap-add
-    as one `lax.conv_transpose` (``ZAFTPU_STFT=conv``)."""
-    from zaftpu.pallas import fused as _fused
-
-    f = audio_mdct.shape[-2]
-    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
-    signal = _fused.conv_matmul_window_ola(coeffs, window_function,
-                                           matrix_np, f)
-    return signal[..., f:signal.shape[-1] - f - 1]
-
-
 @jax.jit
 def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
                pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
@@ -221,11 +191,6 @@ def mdct(audio_signal, window_function):
     window_function = as_device_constant(
         _validate.check_window(window_function, even=True))
     wl = window_function.shape[0]
-    if (os.environ.get("ZAFTPU_STFT") == "conv"
-            and audio_signal.dtype == jnp.float32
-            and _fft.direct_engine_enabled(wl)):
-        return _mdct_conv_core(audio_signal, window_function,
-                               _direct_forward_matrix(wl))
     if _fft.direct_engine_enabled(wl):
         rdtype = np.float32 if audio_signal.dtype == jnp.float32 else np.float64
         return _mdct_direct_core(
@@ -285,13 +250,6 @@ def imdct(audio_mdct, window_function):
             f"window length must be 2*number_frequencies = "
             f"{2 * audio_mdct.shape[-2]}, got {wlen}")
     f = audio_mdct.shape[-2]
-    if (os.environ.get("ZAFTPU_STFT") == "conv"
-            and audio_mdct.ndim >= 2
-            and audio_mdct.dtype == jnp.float32
-            and _fft.direct_engine_enabled(2 * f)):
-        return _imdct_conv_core(audio_mdct,
-                                as_device_constant(window_function),
-                                _direct_inverse_matrix(f))
     if _fft.direct_engine_enabled(2 * f):
         rdtype = np.float32 if audio_mdct.dtype == jnp.float32 else np.float64
         wbytes = _host_window_bytes(window_function)

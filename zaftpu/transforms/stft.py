@@ -54,8 +54,11 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
 @partial(jax.jit, static_argnames=("step_length",))
 def _stft_full(audio_signal, window_function, step_length):
     half = _stft_frames_half(audio_signal, window_function, step_length)
-    full = _fft.full_from_half(half, window_function.shape[0])
-    return jnp.swapaxes(full, -1, -2)
+    # Bins-major mirror: the conjugate reconstruction runs as a major-axis
+    # reversed slice in the final (WL, T) layout — the lane-gather + complex
+    # transpose formulation it replaces cost 37% of the 10-min STFT
+    # (docs/tpu_results/stft_breakdown.json).
+    return _fft.full_from_half_t(half, window_function.shape[0])
 
 
 @_pallas_guarded
@@ -92,13 +95,14 @@ def _istft_core(audio_stft: jnp.ndarray, step_length: int,
     from zaftpu import pallas as _pallas
 
     wl = audio_stft.shape[-2]
-    signal = _pallas.real_ifft_overlap_add(
-        jnp.swapaxes(audio_stft, -1, -2), step_length)
-    # Trim the centering pad (zaf.py:236-238) and divide by the COLA gain
-    # (zaf.py:241); the gain is a host-side float64 scalar of the window.
+    # Synthesis takes the spectra bins-major (their natural layout): the
+    # Hermitian fold runs along the major axis and the COLA gain division
+    # (zaf.py:241, a host-side float64 scalar of the window) is folded into
+    # the inverse operator on the engine path.
+    signal = _pallas.synthesis_ola(audio_stft, step_length, gain)
+    # Trim the centering pad (zaf.py:236-238).
     edge = wl - step_length
-    signal = signal[..., edge:signal.shape[-1] - edge]
-    return signal / jnp.asarray(gain, dtype=signal.dtype)
+    return signal[..., edge:signal.shape[-1] - edge]
 
 
 @_pallas_guarded
