@@ -41,7 +41,8 @@ from zaftpu.viz.display import (
     cqtspecshow,
     cqtchromshow,
 )
-from zaftpu.config import StftConfig, MelConfig, CqtConfig, MdctConfig
+from zaftpu.config import (StftConfig, MelConfig, CqtConfig, MdctConfig,
+                           DispatchConfig)
 from zaftpu.core.policy import compute_dtype
 
 __version__ = "0.1.0"
@@ -77,5 +78,6 @@ __all__ = [
     "MelConfig",
     "CqtConfig",
     "MdctConfig",
+    "DispatchConfig",
     "compute_dtype",
 ]

@@ -5,12 +5,25 @@ The reference has no config system — conventions live in docstrings
 zaf.py:585-591 CQT defaults octave_resolution=24, fmin=55, fmax=3520,
 time_resolution=25). These dataclasses make those conventions explicit and
 hashable so they can key jit caches and precomputed-operator caches.
+
+Two kinds of config live here:
+
+* **Parameter configs** (:class:`StftConfig`, :class:`MelConfig`,
+  :class:`CqtConfig`, :class:`MdctConfig`) — user-facing bundles of the
+  reference's positional arguments, accepted by the public transforms via
+  the ``config=`` keyword (``zaftpu.stft(x, config=StftConfig(...))``).
+* **:class:`DispatchConfig`** — the snapshot of every ``ZAFTPU_*`` dispatch
+  flag consulted while *tracing* a transform. The jit wrapper
+  (:func:`zaftpu.core.dispatch.zjit`) keys its trace caches on the current
+  snapshot, so flipping a flag between two same-shape calls retraces with
+  the new dispatch instead of silently reusing a stale program.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 
 def default_window_length(sampling_frequency: int | float,
@@ -51,6 +64,14 @@ class MelConfig:
     window_length: int = 2048
     number_mels: int = 40
     number_coefficients: int = 20
+    step_length: int = 1024      # half overlap, reference zaf.py:75-77
+    window: str = "hamming"      # periodic, reference zaf.py:73-74
+
+    def window_array(self):
+        """The configured analysis window as a float64 host array."""
+        from zaftpu.core.windows import get_window
+
+        return get_window(self.window, self.window_length)
 
     def filterbank(self):
         """The configured mel filterbank (cached)."""
@@ -84,3 +105,61 @@ class MdctConfig:
 
     window_length: int = 2048
     window: str = "vorbis"  # sine-slope window, zaf.py:1100
+
+    def window_array(self):
+        """The configured window as a float64 host array."""
+        from zaftpu.core.windows import get_window
+
+        return get_window(self.window, self.window_length)
+
+
+@dataclasses.dataclass(frozen=True)
+class DispatchConfig:
+    """Hashable snapshot of every trace-time ``ZAFTPU_*`` dispatch flag.
+
+    Library programs consult these flags *while tracing* (engine selection in
+    ``core/fft.py``, precision/dtype policy in ``core/policy.py``, kernel
+    dispatch in ``zaftpu/pallas``). jit caches therefore must be keyed on the
+    snapshot — otherwise flipping a flag after a shape has been seen silently
+    reuses the stale trace (a user A/B-ing engines in one notebook process
+    would get right numbers under wrong labels). :func:`current` is read
+    fresh on every public-transform call by
+    :func:`zaftpu.core.dispatch.zjit`.
+
+    ``matmul_dtype`` is the *resolved* operator-matmul dtype — the
+    :func:`zaftpu.core.policy.compute_dtype` context override folded together
+    with ``ZAFTPU_DTYPE`` — so entering/leaving the bf16 context retraces
+    too.
+    """
+
+    fft: str = "auto"
+    fft_direct_max: int = 4096
+    cfft: str = ""
+    mirror: str = ""
+    mirror_strategy: str = "rev"
+    pallas: str = "auto"
+    fused: str = ""
+    precision: str = "highest"
+    matmul_dtype: str = ""
+
+    @classmethod
+    def current(cls) -> "DispatchConfig":
+        """Snapshot the environment + policy context right now."""
+        from zaftpu.core import policy as _policy
+
+        try:
+            direct_max = int(os.environ.get("ZAFTPU_FFT_DIRECT_MAX", "4096"))
+        except ValueError:
+            direct_max = 4096
+        return cls(
+            fft=os.environ.get("ZAFTPU_FFT", "auto"),
+            fft_direct_max=direct_max,
+            cfft=os.environ.get("ZAFTPU_CFFT", ""),
+            mirror=os.environ.get("ZAFTPU_MIRROR", ""),
+            mirror_strategy=os.environ.get("ZAFTPU_MIRROR_STRATEGY", "rev"),
+            pallas=os.environ.get("ZAFTPU_PALLAS", "auto"),
+            fused=os.environ.get("ZAFTPU_FUSED", ""),
+            precision=os.environ.get("ZAFTPU_PRECISION", "highest").lower(),
+            matmul_dtype=("bfloat16"
+                          if _policy.matmul_dtype() is not None else ""),
+        )

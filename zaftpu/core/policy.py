@@ -66,10 +66,28 @@ def compute_dtype(dtype):
         _STATE["override"] = prev
 
 
-def operator_dtype(input_dtype):
+# Transforms the bf16 dial must NOT lower, because their roofline says bf16
+# cannot pay: their operator matmuls are a rounding error next to the rfft
+# that feeds them (MFCC's DCT-II is (T, 40) @ (40, 40); the mel filterbank
+# product is (T, 1024) @ (1024, 40) with a 40-lane output — both far below
+# MXU saturation), so lowering buys ~nothing and costs real accuracy in the
+# log domain. Measured on v5e (docs/tpu_results/bf16.json): MFCC +1%
+# throughput for 35.9 dB — ~100 dB of accuracy for noise-level speedup.
+# Contrast the CQT, whose 32k-contraction operator GEMMs are
+# bandwidth-bound on operand bytes: bf16 there is +98% at 55.6 dB and stays
+# policy-controlled.
+BF16_EXEMPT = frozenset({"mfcc", "melspectrogram"})
+
+
+def operator_dtype(input_dtype, transform: str | None = None):
     """Dtype to store/upload a precomputed operator in, given the activation
     dtype: bf16 under the bf16 policy (f32 activations only — the f64 oracle
-    path never lowers), else the activation dtype."""
+    path never lowers), else the activation dtype. ``transform`` names the
+    consuming transform so the per-transform exemption table
+    (:data:`BF16_EXEMPT`) can opt roofline-ineligible transforms out of the
+    dial."""
+    if transform in BF16_EXEMPT:
+        return jnp.dtype(input_dtype)
     if matmul_dtype() is not None and jnp.dtype(input_dtype) == jnp.float32:
         return jnp.bfloat16
     return jnp.dtype(input_dtype)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import policy as _policy
 from zaftpu.core import validate as _validate
 from zaftpu.pallas import guarded as _pallas_guarded
@@ -102,7 +103,7 @@ def dct_ii_ortho_matrix(size: int) -> np.ndarray:
     return mat
 
 
-@partial(jax.jit, static_argnames=("step_length",))
+@partial(zjit, static_argnames=("step_length",))
 def _melspectrogram_core(audio_signal, window_function, fbank, step_length):
     half = _stft_frames_half(audio_signal, window_function, step_length)
     mag = jnp.abs(half[..., 1:])  # (..., T, WL/2): DC dropped, Nyquist kept
@@ -110,28 +111,57 @@ def _melspectrogram_core(audio_signal, window_function, fbank, step_length):
     return jnp.swapaxes(mel, -1, -2)
 
 
+def _resolve_mel_args(window_function, step_length, mel_filterbank, config,
+                      like_dtype):
+    """Resolve (window, step, filterbank) from positional args or a
+    :class:`zaftpu.config.MelConfig` (window cast to the input's float dtype
+    — dtype follows input)."""
+    if config is not None:
+        if (window_function is not None or step_length is not None
+                or mel_filterbank is not None):
+            raise ValueError(
+                "pass either (window_function, step_length, mel_filterbank) "
+                "or config=, not both")
+        dt = np.dtype(like_dtype)
+        real = (np.empty(0, dt).real.dtype
+                if np.issubdtype(dt, np.inexact) else np.dtype(np.float64))
+        return (config.window_array().astype(real), config.step_length,
+                config.filterbank())
+    if window_function is None or step_length is None or mel_filterbank is None:
+        raise ValueError(
+            "window_function, step_length and mel_filterbank are required "
+            "when no config= is given")
+    return window_function, step_length, mel_filterbank
+
+
 @_pallas_guarded
-def melspectrogram(audio_signal, window_function, step_length, mel_filterbank):
+def melspectrogram(audio_signal, window_function=None, step_length=None,
+                   mel_filterbank=None, *, config=None):
     """Mel spectrogram ``(number_mels, number_times)``.
 
     Magnitude spectrogram x filterbank as one batched MXU matmul (reference
     semantics zaf.py:324-375). ``mel_filterbank`` may be the dense array from
-    :func:`melfilterbank` or a scipy sparse matrix.
+    :func:`melfilterbank` or a scipy sparse matrix; alternatively pass
+    ``config=MelConfig(...)`` to derive all three parameters.
     """
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function, step_length, mel_filterbank = _resolve_mel_args(
+        window_function, step_length, mel_filterbank, config,
+        audio_signal.dtype)
     window_function = _validate.check_window(as_device_constant(window_function))
     step_length = _validate.check_step(step_length, window_function.shape[0])
     fbank = device_constant(
         _validate.check_filterbank(_as_dense(mel_filterbank),
                                    window_function.shape[0]),
-        _policy.operator_dtype(audio_signal.dtype))
+        _policy.operator_dtype(audio_signal.dtype,
+                               transform="melspectrogram"))
     return _melspectrogram_core(audio_signal, window_function, fbank,
                                 step_length)
 
 
-@partial(jax.jit, static_argnames=("step_length", "number_coefficients"))
+@partial(zjit, static_argnames=("step_length", "number_coefficients"))
 def _mfcc_core(audio_signal, window_function, fbank, dct_mat, step_length,
                number_coefficients):
     half = _stft_frames_half(audio_signal, window_function, step_length)
@@ -144,16 +174,25 @@ def _mfcc_core(audio_signal, window_function, fbank, dct_mat, step_length,
 
 
 @_pallas_guarded
-def mfcc(audio_signal, window_function, step_length, mel_filterbank,
-         number_coefficients):
+def mfcc(audio_signal, window_function=None, step_length=None,
+         mel_filterbank=None, number_coefficients=None, *, config=None):
     """MFCCs ``(number_coefficients, number_times)`` (reference zaf.py:378-454).
 
     Power spectrogram -> mel matmul -> log(+eps) -> orthonormal DCT-II along
     the mel axis -> coefficients 1..C. Both matmuls run on the MXU.
+    Alternatively pass ``config=MelConfig(...)`` to derive every parameter.
     """
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    if config is not None and number_coefficients is None:
+        number_coefficients = config.number_coefficients
+    window_function, step_length, mel_filterbank = _resolve_mel_args(
+        window_function, step_length, mel_filterbank, config,
+        audio_signal.dtype)
+    if number_coefficients is None:
+        raise ValueError(
+            "number_coefficients is required when no config= is given")
     window_function = _validate.check_window(as_device_constant(window_function))
     step_length = _validate.check_step(step_length, window_function.shape[0])
     fbank = _validate.check_filterbank(_as_dense(mel_filterbank),
@@ -165,7 +204,7 @@ def mfcc(audio_signal, window_function, step_length, mel_filterbank,
             f"{fbank.shape[0] - 1}] (the 0th coefficient is dropped, "
             f"zaf.py:452), got {number_coefficients}")
     dct_mat = dct_ii_ortho_matrix(fbank.shape[0])
-    op_dtype = _policy.operator_dtype(audio_signal.dtype)
+    op_dtype = _policy.operator_dtype(audio_signal.dtype, transform="mfcc")
     return _mfcc_core(audio_signal, window_function,
                       device_constant(fbank, op_dtype),
                       device_constant(dct_mat, op_dtype),

@@ -21,6 +21,7 @@ import os
 
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.io.stream import BlockReader
 
 
@@ -116,7 +117,7 @@ def streaming_spectrogram(path, window, step: int, block_frames: int = 4096,
     pad_front, t = _frame_plan(path, wl, step)
     window_dev = jnp.asarray(window)
 
-    @jax.jit
+    @zjit
     def block_fn(samples):
         b = (samples.shape[0] - (wl - step)) // step
         frames = _frame.extract_frames(samples, wl, step, b)
@@ -145,7 +146,7 @@ def streaming_melspectrogram(path, window, step: int, mel_filterbank,
     window_dev = jnp.asarray(window)
     fbank_t = jnp.asarray(_as_dense(mel_filterbank).T.astype(np.float32))
 
-    @jax.jit
+    @zjit
     def block_fn(samples):
         b = (samples.shape[0] - (wl - step)) // step
         frames = _frame.extract_frames(samples, wl, step, b)
@@ -182,7 +183,7 @@ def streaming_mfcc(path, window, step: int, mel_filterbank,
                         .T.astype(np.float32))
     c = int(number_coefficients)
 
-    @jax.jit
+    @zjit
     def block_fn(samples):
         b = (samples.shape[0] - (wl - step)) // step
         frames = _frame.extract_frames(samples, wl, step, b)
@@ -224,7 +225,7 @@ def streaming_mdct(path, window, block_frames: int = 4096,
     window_dev = jnp.asarray(window)
     matrix = jnp.asarray(_direct_forward_matrix(wl).astype(np.float32))
 
-    @jax.jit
+    @zjit
     def block_fn(samples):
         b = (samples.shape[0] - step) // step
         frames = _frame.extract_frames(samples, wl, step, b)
@@ -374,7 +375,7 @@ def streaming_istft(audio_stft, window, step: int, out_path,
     gain = _frame.cola_gain(window, step)
     _validate.check_cola(window, step, gain)
 
-    @jax.jit
+    @zjit
     def block_fn(cols):
         # Bins-major synthesis: major-axis Hermitian fold, COLA gain folded
         # into the inverse operator on the engine path.
@@ -427,7 +428,7 @@ def streaming_imdct(audio_mdct, window, out_path, sampling_frequency: int,
         _direct_inverse_windowed_matrix(f, _host_window_bytes(window))
         .astype(dtype))
 
-    @jax.jit
+    @zjit
     def block_fn(cols):
         frames = real_matmul(cols, matrix)  # (b, 2F)
         return _pallas.overlap_add(frames, f)
@@ -476,7 +477,7 @@ def streaming_cqtspectrogram(path, sampling_frequency, time_resolution,
     kdtype = _policy.operator_dtype(np.float32)
     m_real, m_imag = _cqt._device_time_kernel(kern, kdtype)
 
-    @jax.jit
+    @zjit
     def _block_jit(samples, mr, mi):
         # Kernel operators ride as traced args, not 37 MB jaxpr constants.
         b = (samples.shape[0] - (fft_length - step)) // step

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import fft as _fft
 from zaftpu.core import frame as _frame
 from zaftpu.features.mel import _as_dense, _LOG_EPS, dct_ii_ortho_matrix
@@ -173,7 +174,7 @@ def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
     return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
 
 
-@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+@partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
                                    "pads", "magnitude"))
 def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
                        axis_name, pads, magnitude):
@@ -230,7 +231,7 @@ def spectrogram_sharded(audio_signal, window_function, step_length: int,
     return out[..., :t]
 
 
-@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+@partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
                                    "gain"))
 def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, gain):
     """Input is already frame-padded to the bucketed ``t_pad`` (zero frame
@@ -273,7 +274,7 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
 # Mel features (sharded spectrogram + replicated filterbank matmuls)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("step_length", "mesh", "axis_name",
+@partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
                                    "pads", "power", "number_coefficients"))
 def _mel_full_sharded(audio_signal, window_function, fbank_t, dct_t,
                       step_length, mesh, axis_name, pads, power,
@@ -322,7 +323,10 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    op_dtype = _policy.operator_dtype(audio_signal.dtype)
+    # Same roofline exemption as the unsharded transform (policy.BF16_EXEMPT)
+    # so sharded == single-device holds under the bf16 dial too.
+    op_dtype = _policy.operator_dtype(audio_signal.dtype,
+                                      transform="melspectrogram")
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     out = _mel_full_sharded(audio_signal, window_function,
                             device_constant(
@@ -346,7 +350,8 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    op_dtype = _policy.operator_dtype(audio_signal.dtype)
+    # Same roofline exemption as the unsharded transform (policy.BF16_EXEMPT).
+    op_dtype = _policy.operator_dtype(audio_signal.dtype, transform="mfcc")
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     out = _mel_full_sharded(audio_signal, window_function,
                             device_constant(
@@ -362,7 +367,7 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
 # MDCT family
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads"))
+@partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
 def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
                        axis_name, pads):
     coeffs = _mdct_core_sharded(audio_signal, window_function, pre, post,
@@ -370,7 +375,7 @@ def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
     return jnp.swapaxes(coeffs, -1, -2)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "pads"))
+@partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
 def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
                               axis_name, pads):
     """Direct-GEMM sharded MDCT: same folded (WL, WL/2) operator as the
@@ -439,7 +444,7 @@ def mdct_sharded(audio_signal, window_function, mesh,
     return out[..., :t]
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+@partial(zjit, static_argnames=("mesh", "axis_name"))
 def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
                         axis_name):
     """Input already frame-padded to the bucketed ``t_pad``; returns the
@@ -454,7 +459,7 @@ def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
     return body[..., f:]
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+@partial(zjit, static_argnames=("mesh", "axis_name"))
 def _imdct_core_sharded_direct(audio_mdct, matrix, mesh, axis_name):
     """Direct-GEMM sharded inverse MDCT: the window-folded (F, 2F) operator
     of the single-device path (pre/FFT/post/2*Re/window fused), so values
@@ -466,7 +471,7 @@ def _imdct_core_sharded_direct(audio_mdct, matrix, mesh, axis_name):
     return body[..., f:]
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name"))
+@partial(zjit, static_argnames=("mesh", "axis_name"))
 def _imdct_core_sharded_direct_unfused(audio_mdct, window_function, matrix,
                                        mesh, axis_name):
     """Traced/device-resident window twin — post-GEMM multiply, matching
@@ -523,7 +528,7 @@ def imdct_sharded(audio_mdct, window_function, mesh,
 # CQT family
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("step_length", "fft_length", "mesh",
+@partial(zjit, static_argnames=("step_length", "fft_length", "mesh",
                                    "axis_name", "pads", "block_frames", "t",
                                    "octave_resolution"))
 def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
@@ -581,7 +586,7 @@ def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
     return _cqt_core_sharded(
         audio_signal, m_real, m_imag,
         step, fft_length, mesh, axis_name,
-        (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t, 0)
+        (pad_front, body_len, t_pad), _cqt._block_frames(), t, 0)
 
 
 _TP_PAD_CACHE: dict = {}
@@ -605,7 +610,7 @@ def _tp_padded_kernel(m_real, m_imag, f_pad: int):
     return hit[0], hit[1]
 
 
-@partial(jax.jit, static_argnames=("step_length", "fft_length", "mesh",
+@partial(zjit, static_argnames=("step_length", "fft_length", "mesh",
                                    "axis_name", "pads", "block_frames"))
 def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
                  mesh, axis_name, pads, block_frames):
@@ -663,7 +668,7 @@ def cqtspectrogram_tp(audio_signal, sampling_frequency, time_resolution,
         m_real, m_imag = _tp_padded_kernel(m_real, m_imag, f_pad)
 
     # Frame-count padding so every lax.map block slices a full segment.
-    block = min(_cqt._BLOCK_FRAMES, max(1, t))
+    block = min(_cqt._block_frames(), max(1, t))
     t_pad = block * (-(-t // block))
     body_len = max(pad_front + n,
                    _cqt._blocked_needed(t_pad, step, fft_length))
@@ -692,5 +697,5 @@ def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
     return _cqt_core_sharded(
         audio_signal, m_real, m_imag,
         step, fft_length, mesh, axis_name,
-        (pad_front, body_len, t_pad), _cqt._BLOCK_FRAMES, t,
+        (pad_front, body_len, t_pad), _cqt._block_frames(), t,
         int(octave_resolution))

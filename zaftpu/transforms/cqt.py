@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import policy as _policy
 from zaftpu.core import windows as _windows
 
@@ -206,17 +207,28 @@ def _evict_kernel(key):
             _device_kernels.pop(dkey, None)
 
 
-# Frames per on-device block: bounds the gathered-frames buffer at
-# block * fft_length * 4 bytes (~34 MB at 256). ZAFTPU_CQT_BLOCK overrides
-# for hardware tuning (larger blocks amortize per-block overhead and give
-# the MXU taller matmuls). Default 256 = the best f32/HIGHEST cell of the
-# amortized v5e sweep (938k fr/s vs 878k at 128; bf16 keeps climbing to
-# block 1024 — 2.06M fr/s — so bf16 users should raise it; see
-# scripts/tpu_stages/s7_cqt_tune.py and docs/tpu_results/cqt_tune.json).
-_BLOCK_FRAMES = int(os.environ.get("ZAFTPU_CQT_BLOCK", "256"))
+def _block_frames() -> int:
+    """Frames per on-device block: bounds the gathered-frames buffer at
+    block * fft_length * 4 bytes (~34 MB at 256). ``ZAFTPU_CQT_BLOCK``
+    overrides for hardware tuning (larger blocks amortize per-block overhead
+    and give the MXU taller matmuls). Defaults are the best measured cells of
+    the amortized v5e sweep per matmul dtype (scripts/tpu_stages/
+    s7_cqt_tune.py, docs/tpu_results/cqt_tune.json): 256 for f32/HIGHEST
+    (938k fr/s vs 878k at 128), 1024 under the bf16 policy (2.06M fr/s vs
+    938k at the f32-optimal 256 — bf16 halves the operand traffic, so the
+    sweep keeps climbing). Read per call, not at import, so flipping the env
+    or entering ``compute_dtype("bfloat16")`` takes effect immediately (the
+    block feeds a static jit argument)."""
+    env = os.environ.get("ZAFTPU_CQT_BLOCK")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return 1024 if _policy.matmul_dtype() is not None else 256
 
 
-@partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
+@partial(zjit, static_argnames=("pads", "step_length", "fft_length",
                                    "number_times", "block_frames",
                                    "octave_resolution"))
 def _cqt_apply(signal, k_reduced, gather_cols, conj_mask, pads, step_length,
@@ -321,7 +333,7 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
     return out.reshape(blocks * block_frames, -1)[:number_times]
 
 
-@partial(jax.jit, static_argnames=("pads", "step_length", "fft_length",
+@partial(zjit, static_argnames=("pads", "step_length", "fft_length",
                                    "number_times", "block_frames",
                                    "octave_resolution"))
 def _cqt_apply_matmul(signal, m_real, m_imag, pads, step_length, fft_length,
@@ -354,16 +366,39 @@ def _octave_fold(spec, octave_resolution):
     return padded.reshape(*lead, octaves, octave_resolution, t).sum(axis=-3)
 
 
-def cqtspectrogram(audio_signal, sampling_frequency, time_resolution,
-                   cqt_kernel):
+def _resolve_cqt_args(sampling_frequency, time_resolution, cqt_kernel,
+                      config):
+    """Resolve (sr, time_res, kernel) from positional args or a
+    :class:`zaftpu.config.CqtConfig` (whose :meth:`kernel` is cached)."""
+    if config is not None:
+        if (sampling_frequency is not None or time_resolution is not None
+                or cqt_kernel is not None):
+            raise ValueError(
+                "pass either (sampling_frequency, time_resolution, "
+                "cqt_kernel) or config=, not both")
+        return (config.sampling_frequency, config.time_resolution,
+                config.kernel())
+    if (sampling_frequency is None or time_resolution is None
+            or cqt_kernel is None):
+        raise ValueError(
+            "sampling_frequency, time_resolution and cqt_kernel are "
+            "required when no config= is given")
+    return sampling_frequency, time_resolution, cqt_kernel
+
+
+def cqtspectrogram(audio_signal, sampling_frequency=None,
+                   time_resolution=None, cqt_kernel=None, *, config=None):
     """Magnitude CQT spectrogram ``(number_frequencies, number_times)``.
 
     Reference semantics (zaf.py:562-635): ``step = round(sr/time_res)``,
     ``T = floor(N/step)``, asymmetric centering pad, per-frame
-    ``|K . fft(frame)|``.
+    ``|K . fft(frame)|``. Accepts ``config=CqtConfig(...)`` in place of the
+    three positional parameters.
     """
     from zaftpu.core import validate as _validate
 
+    sampling_frequency, time_resolution, cqt_kernel = _resolve_cqt_args(
+        sampling_frequency, time_resolution, cqt_kernel, config)
     kern = _as_kernel(cqt_kernel)
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     step = round(float(sampling_frequency) / float(time_resolution))
@@ -442,8 +477,8 @@ def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
     pad_front = int(np.ceil((fft_length - step) / 2))
     pad_back = int(np.floor((fft_length - step) / 2))
     # Extra zeros so the last lax.map block can always slice a full segment.
-    blocks = -(-number_times // _BLOCK_FRAMES)
-    needed = _blocked_needed(blocks * _BLOCK_FRAMES, step, fft_length)
+    blocks = -(-number_times // _block_frames())
+    needed = _blocked_needed(blocks * _block_frames(), step, fft_length)
     have = int(audio_signal.shape[-1]) + pad_front + pad_back
     pads = (pad_front, pad_back + max(0, needed - have))
 
@@ -454,27 +489,35 @@ def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
             kern, _policy.operator_dtype(np.float32))
         return _cqt_apply_matmul(
             audio_signal, m_real, m_imag,
-            pads, step, fft_length, number_times, _BLOCK_FRAMES,
+            pads, step, fft_length, number_times, _block_frames(),
             octave_resolution)
     # f64 oracle path: batched rfft + reduced kernel matmul, matching the
     # reference's FFT rounding for bit-level parity gates.
     k_reduced, gather_cols, conj_mask = _device_oracle_kernel(kern)
     return _cqt_apply(
         audio_signal, k_reduced, gather_cols, conj_mask,
-        pads, step, fft_length, number_times, _BLOCK_FRAMES,
+        pads, step, fft_length, number_times, _block_frames(),
         octave_resolution)
 
 
-def cqtchromagram(audio_signal, sampling_frequency, time_resolution,
-                  octave_resolution, cqt_kernel):
+def cqtchromagram(audio_signal, sampling_frequency=None, time_resolution=None,
+                  octave_resolution=None, cqt_kernel=None, *, config=None):
     """CQT chromagram ``(octave_resolution, number_times)``.
 
     Octave fold of the CQT spectrogram: chroma ``i`` sums channels
     ``i, i+OR, i+2*OR, ...`` (reference zaf.py:638-700) — a zero-padded
     reshape-sum fused into the same single-dispatch CQT program.
+    Accepts ``config=CqtConfig(...)`` in place of the positional parameters.
     """
     from zaftpu.core import validate as _validate
 
+    if config is not None and octave_resolution is None:
+        octave_resolution = config.octave_resolution
+    sampling_frequency, time_resolution, cqt_kernel = _resolve_cqt_args(
+        sampling_frequency, time_resolution, cqt_kernel, config)
+    if octave_resolution is None:
+        raise ValueError(
+            "octave_resolution is required when no config= is given")
     kern = _as_kernel(cqt_kernel)
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     step = round(float(sampling_frequency) / float(time_resolution))

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import fft as _fft
 
 _SQRT2 = np.sqrt(2.0)
@@ -77,7 +78,7 @@ def _direct_matrix(kind: str, transform_type: int, n: int) -> np.ndarray:
             * np.sin(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n)))
 
 
-@jax.jit
+@zjit
 def _apply_direct(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
     from zaftpu.core.policy import real_matmul
 
@@ -117,7 +118,7 @@ def _embed(x: jnp.ndarray, length: int, placements) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("dct_type",))
+@partial(zjit, static_argnames=("dct_type",))
 def _dct_core(x: jnp.ndarray, dct_type: int) -> jnp.ndarray:
     n = x.shape[-1]
     rev = x[..., ::-1]
@@ -157,7 +158,7 @@ def _dct_core(x: jnp.ndarray, dct_type: int) -> jnp.ndarray:
     raise ValueError(f"dct_type must be 1..4, got {dct_type}")
 
 
-@partial(jax.jit, static_argnames=("dst_type",))
+@partial(zjit, static_argnames=("dst_type",))
 def _dst_core(x: jnp.ndarray, dst_type: int) -> jnp.ndarray:
     n = x.shape[-1]
     rev = x[..., ::-1]

@@ -20,11 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import fft as _fft
 from zaftpu.core import frame as _frame
 
 
-@partial(jax.jit, static_argnames=("step_length", "iterations", "momentum"))
+@partial(zjit, static_argnames=("step_length", "iterations", "momentum"))
 def _griffin_lim_core(magnitude_tf, window_function, step_length,
                       iterations, momentum):
     t, _ = magnitude_tf.shape

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import fft as _fft
 from zaftpu.core import validate as _validate
 from zaftpu.pallas import guarded as _pallas_guarded
@@ -79,7 +80,7 @@ def _direct_inverse_matrix(number_frequencies: int):
     return 2.0 * np.real(pre[:, None] * ang * post[None, :])
 
 
-@jax.jit
+@zjit
 def _mdct_direct_core(audio_signal: jnp.ndarray,
                       window_function: jnp.ndarray,
                       matrix: jnp.ndarray) -> jnp.ndarray:
@@ -110,7 +111,7 @@ def _direct_inverse_windowed_matrix(number_frequencies: int,
     return _direct_inverse_matrix(number_frequencies) * win[None, :]
 
 
-@jax.jit
+@zjit
 def _imdct_direct_core(audio_mdct: jnp.ndarray,
                        matrix: jnp.ndarray) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
@@ -123,7 +124,7 @@ def _imdct_direct_core(audio_mdct: jnp.ndarray,
     return signal[..., f:signal.shape[-1] - f - 1]
 
 
-@jax.jit
+@zjit
 def _imdct_direct_core_unfused(audio_mdct: jnp.ndarray,
                                window_function: jnp.ndarray,
                                matrix: jnp.ndarray) -> jnp.ndarray:
@@ -151,7 +152,7 @@ def _host_window_bytes(window_function):
         np.asarray(window_function, dtype=np.float64)).tobytes()
 
 
-@jax.jit
+@zjit
 def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
                pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
@@ -169,8 +170,26 @@ def _mdct_core(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
     return jnp.swapaxes(coeffs, -1, -2)
 
 
+def _resolve_mdct_window(window_function, config, like_dtype):
+    """Window from positional arg or :class:`zaftpu.config.MdctConfig`
+    (cast to the float dtype matching ``like_dtype`` so the
+    dtype-follows-input policy holds)."""
+    if config is not None:
+        if window_function is not None:
+            raise ValueError(
+                "pass either window_function or config=, not both")
+        dt = np.dtype(like_dtype)
+        real = (np.empty(0, dt).real.dtype
+                if np.issubdtype(dt, np.inexact) else np.dtype(np.float64))
+        return config.window_array().astype(real)
+    if window_function is None:
+        raise ValueError("window_function is required when no config= is "
+                         "given")
+    return window_function
+
+
 @_pallas_guarded
-def mdct(audio_signal, window_function):
+def mdct(audio_signal, window_function=None, *, config=None):
     """Modified discrete cosine transform.
 
     Inputs:
@@ -179,6 +198,7 @@ def mdct(audio_signal, window_function):
         window_function: TDAC window ``(window_length,)`` — e.g.
             ``zaftpu.core.windows.vorbis`` (zaf.py:1100) or ``kbd``
             (zaf.py:1004-1010)
+        config: alternatively, a :class:`zaftpu.config.MdctConfig`
     Output:
         MDCT ``(window_length/2, number_times)`` with
         ``number_times = ceil(N/(WL/2)) + 1`` — reference zaf.py:984-1075
@@ -188,6 +208,8 @@ def mdct(audio_signal, window_function):
                                        pinned_device_constant)
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function = _resolve_mdct_window(window_function, config,
+                                           audio_signal.dtype)
     window_function = as_device_constant(
         _validate.check_window(window_function, even=True))
     wl = window_function.shape[0]
@@ -203,7 +225,7 @@ def mdct(audio_signal, window_function):
                       device_constant(post, ctype))
 
 
-@jax.jit
+@zjit
 def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
                 pre: jnp.ndarray, post: jnp.ndarray) -> jnp.ndarray:
     f = audio_mdct.shape[-2]
@@ -223,13 +245,14 @@ def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
 
 
 @_pallas_guarded
-def imdct(audio_mdct, window_function):
+def imdct(audio_mdct, window_function=None, *, config=None):
     """Inverse MDCT with time-domain aliasing cancellation.
 
     Inputs:
         audio_mdct: MDCT ``(number_frequencies, number_times)`` (or batched
             ``(..., F, T)``)
         window_function: the TDAC analysis window ``(2*F,)``
+        config: alternatively, a :class:`zaftpu.config.MdctConfig`
     Output:
         real signal ``(F*(number_times+1) - 2F - 1,)`` — reference
         zaf.py:1078-1184 semantics (perfect reconstruction up to rounding for
@@ -243,6 +266,8 @@ def imdct(audio_mdct, window_function):
         raise ValueError(
             f"audio_mdct must be (number_frequencies, number_times), "
             f"got shape {audio_mdct.shape}")
+    window_function = _resolve_mdct_window(window_function, config,
+                                           audio_mdct.dtype)
     _validate.check_window(window_function, even=True)
     wlen = np.shape(window_function)[0]
     if wlen != 2 * audio_mdct.shape[-2]:

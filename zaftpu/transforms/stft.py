@@ -26,13 +26,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zaftpu.core.dispatch import zjit
 from zaftpu.core import fft as _fft
 from zaftpu.core import frame as _frame
 from zaftpu.core import validate as _validate
 from zaftpu.pallas import guarded as _pallas_guarded
 
 
-@partial(jax.jit, static_argnames=("step_length",))
+@partial(zjit, static_argnames=("step_length",))
 def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
                       step_length: int) -> jnp.ndarray:
     """Windowed frames -> rfft, frames-major ``(T, WL//2+1)``.
@@ -51,7 +52,7 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
                                         step_length, t)
 
 
-@partial(jax.jit, static_argnames=("step_length",))
+@partial(zjit, static_argnames=("step_length",))
 def _stft_full(audio_signal, window_function, step_length):
     half = _stft_frames_half(audio_signal, window_function, step_length)
     # Bins-major mirror: the conjugate reconstruction runs as a major-axis
@@ -61,8 +62,31 @@ def _stft_full(audio_signal, window_function, step_length):
     return _fft.full_from_half_t(half, window_function.shape[0])
 
 
+def _resolve_analysis_args(window_function, step_length, config, like_dtype):
+    """Resolve the (window, step) pair from either positional arguments or a
+    :class:`zaftpu.config.StftConfig`-style ``config`` (which wins must be
+    unambiguous). A config-derived window is cast to the float dtype matching
+    ``like_dtype`` so the dtype-follows-input policy holds (an f64 host
+    window must not promote an f32 TPU run)."""
+    if config is not None:
+        if window_function is not None or step_length is not None:
+            raise ValueError(
+                "pass either (window_function, step_length) or config=, "
+                "not both")
+        dt = np.dtype(like_dtype)
+        real = (np.empty(0, dt).real.dtype
+                if np.issubdtype(dt, np.inexact) else np.dtype(np.float64))
+        return (config.window_array().astype(real), config.step_length)
+    if window_function is None or step_length is None:
+        raise ValueError(
+            "window_function and step_length are required when no config= "
+            "is given")
+    return window_function, step_length
+
+
 @_pallas_guarded
-def stft(audio_signal, window_function, step_length: int):
+def stft(audio_signal, window_function=None, step_length: int | None = None,
+         *, config=None):
     """Short-time Fourier transform.
 
     Inputs:
@@ -70,6 +94,9 @@ def stft(audio_signal, window_function, step_length: int):
             ``(..., number_samples)``)
         window_function: window ``(window_length,)``
         step_length: hop in samples
+        config: alternatively, a :class:`zaftpu.config.StftConfig` supplying
+            both (``stft(x, config=StftConfig(window_length=1024,
+            step_length=512))``)
     Output:
         complex STFT ``(window_length, number_times)`` — full spectrum
         including DC and mirrored negative-frequency bins, identical layout
@@ -83,13 +110,15 @@ def stft(audio_signal, window_function, step_length: int):
     from zaftpu.utils.devcache import as_device_constant
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function, step_length = _resolve_analysis_args(
+        window_function, step_length, config, audio_signal.dtype)
     window_function = _validate.check_window(as_device_constant(window_function))
     step_length = _validate.check_step(step_length,
                                        window_function.shape[0])
     return _stft_full(audio_signal, window_function, step_length)
 
 
-@partial(jax.jit, static_argnames=("step_length", "gain"))
+@partial(zjit, static_argnames=("step_length", "gain"))
 def _istft_core(audio_stft: jnp.ndarray, step_length: int,
                 gain: float) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
@@ -106,7 +135,8 @@ def _istft_core(audio_stft: jnp.ndarray, step_length: int,
 
 
 @_pallas_guarded
-def istft(audio_stft, window_function, step_length: int):
+def istft(audio_stft, window_function=None, step_length: int | None = None,
+          *, config=None):
     """Inverse short-time Fourier transform.
 
     Inputs:
@@ -114,6 +144,7 @@ def istft(audio_stft, window_function, step_length: int):
             batched ``(..., window_length, number_times)``)
         window_function: the analysis window ``(window_length,)``
         step_length: hop in samples
+        config: alternatively, a :class:`zaftpu.config.StftConfig`
     Output:
         real signal ``(number_times*step - window_length + step,)`` —
         same trim/normalization semantics as reference zaf.py:144-243.
@@ -124,6 +155,8 @@ def istft(audio_stft, window_function, step_length: int):
     # as_device_array: a host-side complex spectrogram must upload as
     # real/imag pairs (complex transfers fail through the axon tunnel).
     audio_stft = _validate.check_spectrum(as_device_array(audio_stft))
+    window_function, step_length = _resolve_analysis_args(
+        window_function, step_length, config, audio_stft.dtype)
     _validate.check_window(window_function)
     step_length = _validate.check_step(step_length, audio_stft.shape[-2])
     gain = _frame.cola_gain(np.asarray(window_function), step_length)
@@ -131,23 +164,27 @@ def istft(audio_stft, window_function, step_length: int):
     return _istft_core(audio_stft, step_length, gain)
 
 
-@partial(jax.jit, static_argnames=("step_length",))
+@partial(zjit, static_argnames=("step_length",))
 def _spectrogram_core(audio_signal, window_function, step_length):
     half = _stft_frames_half(audio_signal, window_function, step_length)
     return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)
 
 
 @_pallas_guarded
-def spectrogram(audio_signal, window_function, step_length: int):
+def spectrogram(audio_signal, window_function=None,
+                step_length: int | None = None, *, config=None):
     """Magnitude spectrogram over bins ``1..WL/2`` — DC dropped, Nyquist kept.
 
     This is the reference's universal analysis slice
     (``abs(stft[1:WL/2+1, :])``, zaf.py:370); computed here directly from the
     rfft half-spectrum so the mirrored bins are never materialized.
+    Accepts ``config=StftConfig(...)`` in place of (window, step).
     """
     from zaftpu.utils.devcache import as_device_constant
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
+    window_function, step_length = _resolve_analysis_args(
+        window_function, step_length, config, audio_signal.dtype)
     window_function = _validate.check_window(as_device_constant(window_function))
     step_length = _validate.check_step(step_length, window_function.shape[0])
     return _spectrogram_core(audio_signal, window_function, step_length)
