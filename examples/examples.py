@@ -53,6 +53,7 @@ def example_stft(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "stft.png"))
     plt.close()
+    return {"spec": spec}
 
 
 def example_istft(outdir):
@@ -84,6 +85,7 @@ def example_istft(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "istft.png"))
     plt.close()
+    return {"center": center, "sides": sides}
 
 
 def example_melfilterbank(outdir):
@@ -97,6 +99,7 @@ def example_melfilterbank(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "melfilterbank.png"))
     plt.close()
+    return {"fbank": np.asarray(fbank)}
 
 
 def example_melspectrogram(outdir):
@@ -112,6 +115,7 @@ def example_melspectrogram(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "melspectrogram.png"))
     plt.close()
+    return {"melspec": melspec}
 
 
 def example_mfcc(outdir):
@@ -133,6 +137,7 @@ def example_mfcc(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "mfcc.png"))
     plt.close()
+    return {"mfccs": mfccs, "dmfccs": dmfccs, "ddmfccs": ddmfccs}
 
 
 def example_cqtkernel(outdir):
@@ -147,6 +152,7 @@ def example_cqtkernel(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "cqtkernel.png"))
     plt.close()
+    return {"kernel_mag": np.abs(kernel.toarray())}
 
 
 def example_cqtspectrogram(outdir):
@@ -161,6 +167,7 @@ def example_cqtspectrogram(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "cqtspectrogram.png"))
     plt.close()
+    return {"spec": spec}
 
 
 def example_cqtchromagram(outdir):
@@ -175,6 +182,7 @@ def example_cqtchromagram(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "cqtchromagram.png"))
     plt.close()
+    return {"chroma": chroma}
 
 
 def example_dct(outdir):
@@ -183,10 +191,13 @@ def example_dct(outdir):
 
     audio, sr = load_audio()
     segment = audio.mean(axis=1)[:1024]
+    outs = {}
     plt.figure(figsize=(14, 7))
     for i, ttype in enumerate((1, 2, 3, 4)):
         mine = np.asarray(zaftpu.dct(segment, ttype))
         ref = scipy.fftpack.dct(segment, type=ttype, norm="ortho")
+        outs[f"dct{ttype}"] = mine
+        outs[f"dct{ttype}_diff"] = mine - ref
         plt.subplot(3, 4, i + 1)
         plt.plot(mine)
         plt.autoscale(tight=True)
@@ -202,6 +213,7 @@ def example_dct(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "dct.png"))
     plt.close()
+    return outs
 
 
 def example_dst(outdir):
@@ -209,10 +221,13 @@ def example_dst(outdir):
     audio, sr = load_audio()
     segment = audio.mean(axis=1)[:1024]
     pairs = [(1, 1), (2, 3), (3, 2), (4, 4)]
+    outs = {}
     plt.figure(figsize=(14, 7))
     for i, (fwd, inv) in enumerate(pairs):
         fwd_out = np.asarray(zaftpu.dst(segment, fwd))
         rec = np.asarray(zaftpu.dst(fwd_out, inv))
+        outs[f"dst{fwd}"] = fwd_out
+        outs[f"dst{fwd}_recon_err"] = rec - segment
         plt.subplot(3, 4, i + 1)
         plt.plot(fwd_out)
         plt.autoscale(tight=True)
@@ -228,6 +243,7 @@ def example_dst(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "dst.png"))
     plt.close()
+    return outs
 
 
 def example_mdct(outdir):
@@ -242,6 +258,7 @@ def example_mdct(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "mdct.png"))
     plt.close()
+    return {"coeffs": coeffs}
 
 
 def example_imdct(outdir):
@@ -265,6 +282,7 @@ def example_imdct(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "imdct.png"))
     plt.close()
+    return {"rec": rec, "diff": diff}
 
 
 def example_griffinlim(outdir):
@@ -288,6 +306,34 @@ def example_griffinlim(outdir):
     plt.tight_layout()
     plt.savefig(os.path.join(outdir, "griffinlim.png"))
     plt.close()
+    return {"rebuilt": rebuilt}
+
+
+def array_stats(arr):
+    """Statistical fingerprint of one plotted array.
+
+    Pins the visual layer against the reference's golden images
+    (reference README.md:100,178,221 embeds images/*.png as expected
+    outputs): shape, finite fraction, value range, mean, and RMS of the
+    matrix behind each figure. Committed expectations live in
+    tests/golden/example_stats.json (tests/make_example_stats.py).
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    finite = np.isfinite(a)
+    af = a[finite] if finite.any() else np.zeros(1)
+    return {
+        "shape": list(a.shape),
+        "finite_frac": float(finite.mean()),
+        "min": float(af.min()),
+        "max": float(af.max()),
+        "mean": float(af.mean()),
+        "rms": float(np.sqrt(np.mean(af * af))),
+    }
+
+
+def fingerprint(outs):
+    """Per-array stats for one example's returned plotted arrays."""
+    return {name: array_stats(val) for name, val in sorted(outs.items())}
 
 
 ALL = [example_stft, example_istft, example_melfilterbank,

@@ -10,10 +10,17 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 RES=docs/tpu_results
 mkdir -p "$RES"
 
-probe_alive() {  # cheap mid-session wedge detector (60 s, cached compile)
-  timeout 60 python -c \
-    "import jax, jax.numpy as jnp; assert float((jnp.ones((8,8))*2).sum())==128.0" \
-    >/dev/null 2>&1
+probe_alive() {  # mid-session wedge detector: must do a FRESH compile.
+  # A cached-op probe passes during the "degraded tunnel" state where every
+  # NEW compile hits UNIMPLEMENTED (observed 2026-08-19: matmul from the
+  # server cache ran while pad/concat/swapaxes of ones all failed). Vary a
+  # shape by the clock so each probe forces an uncached compile.
+  timeout 90 python -c "
+import time, jax, jax.numpy as jnp
+k = int(time.time()) % 977 + 8
+x = jnp.ones((8, k))
+assert float(jnp.pad(x, ((0, 1), (1, 0)))[:8, 1:].sum()) == 8.0 * k
+" >/dev/null 2>&1
 }
 
 run_stage() {  # run_stage <name> <timeout_s> <cmd...>
@@ -75,8 +82,10 @@ run_stage cqt_tune   3000 python scripts/tpu_stages/s7_cqt_tune.py
 run_stage fused_probe 1800 python scripts/tpu_stages/s9_fused_probe.py
 run_stage stft_engines 4500 python scripts/tpu_stages/s8_stft_engines.py
 run_stage stft_breakdown 1500 python scripts/tpu_stages/s11_stft_breakdown.py
-# 3 arms x up to 1200 s subprocess budget each + slack.
-run_stage suite      4200 python scripts/tpu_stages/s10_suite.py
+# The sharded layer on the real chip (VERDICT r2 item 2) — cheap, high value.
+run_stage sharded_tpu 1800 python scripts/tpu_stages/s13_sharded_tpu.py
+# default@600 + split4@600 (1200 s budgets) + hour@3600 (2400 s) + slack.
+run_stage suite      5700 python scripts/tpu_stages/s10_suite.py
 run_stage revgemm_probe 1200 python scripts/probes/probe_revgemm.py
 run_stage mirror_probe 2100 python scripts/tpu_stages/s12_mirror_probe.py
 echo "session complete"

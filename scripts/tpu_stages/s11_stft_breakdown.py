@@ -1,25 +1,32 @@
 """Stage 11: where does the STFT spend its time on the chip?
 
-The MFU table (docs/tpu_results/mfu.json) shows the STFT GEMMs running at
-~28% of engine-FLOP peak while the MDCT's folded GEMM hits ~54% — yet both
-consume the same windowed frame matrix. This stage times the STFT pipeline
-cumulatively, one jitted program per prefix, at 10-min scale:
+Round-2 history: the MFU table showed the STFT GEMMs at ~28-36% of engine
+peak while the MDCT's folded GEMM hit 54-68% — and this stage's prefix
+decomposition attributed the gap to the conjugate-mirror lane gather +
+complex transpose (5.5 ms of the 15.0 ms 10-min STFT) and the ISTFT's lane
+fold (~5 ms of 14.7 ms). The bins-major rewrite (zaftpu/core/fft.py
+full_from_half_t / direct_real_ifft_t) moved the mirror/fold to major-axis
+reversed slices in the final layout and folded the COLA gain into the
+inverse operator.
 
-  frames     pad + framing + window            (T, WL) f32
-  half       + direct rfft (cos & sin GEMMs)   (T, WL/2+1) c64
-  full       + conjugate mirror                (T, WL) c64
-  stft       + transpose to (WL, T)            == public zaftpu.stft
-  istft pipeline mirrored: fold -> GEMMs -> +OLA (== public istft)
+This stage now measures, at 10-min scale:
 
-plus two candidate GEMM formulations measured on the same frames:
+  frames       pad + framing + window                  (T, WL) f32
+  half         + direct rfft (cos & sin GEMMs)         (T, WL/2+1) c64
+  stft         + bins-major conjugate mirror           == public zaftpu.stft
+  stft_old     the round-2 formulation (lane-gather mirror + complex
+               transpose) — the A/B proving the rewrite's win
+  cat1         ONE (WL, WL+2) [cos | sin] GEMM candidate (informational)
+  mdct_ref     the MDCT-shaped (WL, WL/2) real GEMM — the known-68% point
 
-  cat1       ONE (WL, WL+2) [cos | sin] GEMM, complex-ified by slicing —
-             one pass over the frame matrix instead of two
-  mdct_ref   the MDCT-shaped (WL, WL/2) real GEMM — the known-54% point
+  istft        public ISTFT (bins-major fold, COLA gain in the operator)
+  istft_old    round-2 formulation: complex transpose -> lane fold ->
+               GEMMs -> OLA -> post-division
+  ifold_gemms  fold + inverse GEMMs only (no OLA/trim) on the new layout
 
-The deltas between consecutive prefixes attribute time to framing, GEMM,
-mirror, and transpose; cat1 vs half decides whether the two-GEMM split is
-the utilization gap. Prints ONE JSON line.
+Prints ONE JSON line. The engine-peak ratio for the headline:
+stft engine peak = mdct_ref's fr/s x (1024/1025) x 1/2 (two GEMM components
+vs one) — reported as stft_pct_of_engine_peak.
 """
 
 import json
@@ -58,7 +65,7 @@ def main():
     from zaftpu import pallas as _pallas
     from zaftpu.core import fft as _fft
     from zaftpu.core.fft import _direct_rdft_mats
-    from zaftpu.core.frame import stft_padding
+    from zaftpu.core.frame import stft_padding, cola_gain
     from zaftpu.core.policy import real_matmul
     from zaftpu.core.windows import hamming
 
@@ -85,19 +92,20 @@ def main():
     def p_half(sig):
         return _fft.direct_rfft(frames_of(sig))
 
-    @jax.jit
-    def p_full(sig):
-        return _fft.full_from_half(_fft.direct_rfft(frames_of(sig)), WL)
-
-    # p_stft == zaftpu.stft's program (engine path); use the public API so
-    # the number is directly comparable to s8/bench.
+    # p_stft == zaftpu.stft's program (engine path, bins-major mirror); use
+    # the public API so the number is directly comparable to s8/bench.
     def p_stft(sig):
         return zaftpu.stft(sig, win, STEP)
 
+    # Round-2 formulation: lane-gather mirror in (T, WL) then a complex
+    # transpose to (WL, T). The bins-major rewrite exists to beat this.
+    @jax.jit
+    def p_stft_old(sig):
+        full = _fft.full_from_half(_fft.direct_rfft(frames_of(sig)), WL)
+        return jnp.swapaxes(full, -1, -2)
+
     # Candidate: one concatenated [cos | sin] GEMM — a single pass over the
-    # frame matrix, complex assembly from two slices of one result. The
-    # operator is embedded as an HLO constant inside the trace, exactly like
-    # the production direct_rfft path.
+    # frame matrix, complex assembly from two slices of one result.
     cos_m, sin_m = _direct_rdft_mats(WL, "float32")
     cat_np = np.concatenate([np.asarray(cos_m), np.asarray(sin_m)], axis=1)
     mref_np = np.asarray(cos_m)[:, :WL // 2].copy()
@@ -108,10 +116,10 @@ def main():
         both = real_matmul(fr, jnp.asarray(cat_np))
         half = jax.lax.complex(both[..., :WL // 2 + 1],
                                both[..., WL // 2 + 1:])
-        return jnp.swapaxes(_fft.full_from_half(half, WL), -1, -2)
+        return _fft.full_from_half_t(half, WL)
 
     # Reference point: the MDCT-shaped single real GEMM on the same frames
-    # (known to run at ~54% of engine peak in the MFU table).
+    # (the known-68% engine-peak point from the MFU table).
     @jax.jit
     def p_mdct_ref(sig):
         return real_matmul(frames_of(sig), jnp.asarray(mref_np))
@@ -119,10 +127,9 @@ def main():
     out = {"ok": True, "t_frames": t, "wl": WL, "step": STEP}
 
     def run(name, fn, arg, gate=True):
-        """``gate=False`` marks informational candidates (cat1, mdct_ref):
-        their failure is a result, and must not set the stage-level
-        ``"ok": false`` that makes the watcher rerun the whole stage every
-        session (the s8/s10 arm_ok lesson)."""
+        """``gate=False`` marks informational candidates: their failure is a
+        result, and must not set the stage-level ``"ok": false`` that makes
+        the watcher rerun the whole stage every session."""
         try:
             sec = _timed(lambda: fn(arg))
             out[name] = {"seconds": round(sec, 6),
@@ -136,46 +143,65 @@ def main():
 
     run("frames", p_frames, x)
     run("half", p_half, x)
-    run("full", p_full, x)
     run("stft", p_stft, x)
+    run("stft_old", p_stft_old, x, gate=False)
     run("cat1", p_cat1, x, gate=False)
     run("mdct_ref", p_mdct_ref, x, gate=False)
 
-    try:  # cat1 must be numerically equivalent to the two-GEMM stft
-        err = jax.jit(lambda s: jnp.max(jnp.abs(p_cat1(s) - p_stft(s))))(x)
-        out["cat1_max_abs_err"] = float(jax.device_get(err))
+    try:  # the bins-major mirror must be bit-identical to the old one
+        err = jax.jit(lambda s: jnp.max(jnp.abs(p_stft_old(s) - p_stft(s))))(x)
+        out["old_vs_new_max_abs_err"] = float(jax.device_get(err))
     except Exception as exc:  # noqa: BLE001
-        out["cat1_max_abs_err"] = f"{type(exc).__name__}"[:80]
+        out["old_vs_new_max_abs_err"] = f"{type(exc).__name__}"[:80]
 
-    # ISTFT pipeline: fold -> +GEMMs -> full istft (adds OLA + trim).
+    # ISTFT pipeline on the new bins-major layout.
     spec = zaftpu.stft(x, win, STEP)
-    half_1025 = WL // 2 + 1
-
-    @jax.jit
-    def p_fold(sp):
-        z = jnp.swapaxes(sp, -1, -2)
-        zrev = jnp.concatenate([z[..., :1], z[..., :0:-1]],
-                               axis=-1)[..., :half_1025]
-        return 0.5 * (z[..., :half_1025] + jnp.conj(zrev))
+    gain = cola_gain(np.asarray(win), STEP)
 
     @jax.jit
     def p_fold_gemms(sp):
-        return _fft.direct_real_ifft(jnp.swapaxes(sp, -1, -2))
+        return _fft.direct_real_ifft_t(sp, scale=1.0 / gain)
 
     def p_istft(sp):
         return zaftpu.istft(sp, win, STEP)
 
-    run("ifold", p_fold, spec)
+    # Round-2 formulation: transpose to frames-major, lane fold, GEMMs,
+    # OLA, then the post-division by the COLA gain.
+    @jax.jit
+    def p_istft_old(sp):
+        frames = _fft.direct_real_ifft(jnp.swapaxes(sp, -1, -2))
+        sig = _pallas.overlap_add(frames, STEP)
+        sig = sig / jnp.asarray(gain, sig.dtype)
+        edge = WL - STEP
+        return sig[..., edge:sig.shape[-1] - edge]
+
     run("ifold_gemms", p_fold_gemms, spec)
     run("istft", p_istft, spec)
+    run("istft_old", p_istft_old, spec, gate=False)
 
-    # Deltas for quick reading (negative deltas = measurement noise).
+    try:  # COLA-in-operator must match post-division to f32 rounding
+        err = jax.jit(
+            lambda sp: jnp.max(jnp.abs(p_istft_old(sp) - p_istft(sp))))(spec)
+        out["istft_old_vs_new_max_abs_err"] = float(jax.device_get(err))
+    except Exception as exc:  # noqa: BLE001
+        out["istft_old_vs_new_max_abs_err"] = f"{type(exc).__name__}"[:80]
+
+    # Deltas + engine-peak ratios for quick reading.
     for a, b, name in (("frames", "half", "d_gemm"),
-                       ("half", "full", "d_mirror"),
-                       ("full", "stft", "d_transpose"),
+                       ("half", "stft", "d_mirror_out"),
                        ("ifold_gemms", "istft", "d_ola")):
         if "seconds" in out.get(a, {}) and "seconds" in out.get(b, {}):
             out[name] = round(out[b]["seconds"] - out[a]["seconds"], 6)
+    if ("seconds" in out.get("mdct_ref", {})
+            and "seconds" in out.get("stft", {})):
+        # Engine peak for the two-component (WL, WL/2+1) GEMM pair = the
+        # single (WL, WL/2) GEMM's time x 2 x (1025/1024).
+        ideal = out["mdct_ref"]["seconds"] * 2 * 1025 / 1024
+        out["stft_pct_of_engine_peak"] = round(
+            100.0 * ideal / out["stft"]["seconds"], 1)
+        if "seconds" in out.get("istft", {}):
+            out["istft_pct_of_engine_peak"] = round(
+                100.0 * ideal / out["istft"]["seconds"], 1)
     print(json.dumps(out))
     return 0
 

@@ -2,8 +2,10 @@
 
 Compares the f32 and bf16 CQT fused matmul and mel/MFCC paths, reporting
 frames/s for each plus the bf16-vs-f32 accuracy (SNR vs the f32 result).
-Prints ONE JSON line. Exits non-zero if the bf16 path is not yet available
-(so the session retries once it lands).
+Round 3: the dial is per-transform (policy.BF16_EXEMPT) — MFCC and
+melspectrogram are exempt, so their bf16 rows should now be bit-identical
+to f32 (recorded as exempt_identical); the CQT stays lowered and its block
+default rises to 1024 under the dial. Prints ONE JSON line.
 """
 
 import json
@@ -14,6 +16,15 @@ import numpy as np
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
+
+
+def _snr_field(out, key, ref, got):
+    err = got - ref
+    if not err.any():
+        out[key] = "identical"  # exempt transform: dial is a no-op
+    else:
+        out[key] = round(
+            10 * np.log10((ref ** 2).sum() / (err ** 2).sum()), 1)
 
 
 def main():
@@ -52,17 +63,19 @@ def main():
         log(f"{name}: {frames / sec:,.0f} fr/s")
         return np.asarray(jax.device_get(r), np.float64)
 
+    from zaftpu.transforms.cqt import _block_frames
+
     c_frames = int(sr * secs // round(sr / 25))
     try:
         r32 = bench("cqt_f32",
                     lambda: zaftpu.cqtspectrogram(x32, sr, 25, kern), c_frames)
+        out["cqt_f32_block"] = _block_frames()
         with zaftpu.compute_dtype("bfloat16"):
+            out["cqt_bf16_block"] = _block_frames()  # expect 1024
             rb = bench("cqt_bf16",
                        lambda: zaftpu.cqtspectrogram(x32, sr, 25, kern),
                        c_frames)
-        err = rb - r32
-        out["cqt_bf16_vs_f32_snr_db"] = round(
-            10 * np.log10((r32 ** 2).sum() / (err ** 2).sum()), 1)
+        _snr_field(out, "cqt_bf16_vs_f32_snr_db", r32, rb)
     except Exception as exc:  # keep the mfcc pair; retry next session
         out["ok"] = False
         out["cqt_error"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -73,16 +86,30 @@ def main():
         m32 = bench("mfcc_f32", lambda: zaftpu.mfcc(x32, win, step, fbank, 20),
                     m_frames)
         with zaftpu.compute_dtype("bfloat16"):
+            # mfcc is BF16_EXEMPT: the dial must be a measured no-op.
             mb = bench("mfcc_bf16",
                        lambda: zaftpu.mfcc(x32, win, step, fbank, 20),
                        m_frames)
-        err = mb - m32
-        out["mfcc_bf16_vs_f32_snr_db"] = round(
-            10 * np.log10((m32 ** 2).sum() / (err ** 2).sum()), 1)
+        _snr_field(out, "mfcc_bf16_vs_f32_snr_db", m32, mb)
     except Exception as exc:
         out["ok"] = False
         out["mfcc_error"] = f"{type(exc).__name__}: {exc}"[:200]
         log(f"mfcc pair FAILED ({type(exc).__name__}) — continuing")
+
+    try:
+        s32 = bench("melspec_f32",
+                    lambda: zaftpu.melspectrogram(x32, win, step, fbank),
+                    m_frames)
+        with zaftpu.compute_dtype("bfloat16"):
+            # melspectrogram is BF16_EXEMPT too.
+            sb = bench("melspec_bf16",
+                       lambda: zaftpu.melspectrogram(x32, win, step, fbank),
+                       m_frames)
+        _snr_field(out, "melspec_bf16_vs_f32_snr_db", s32, sb)
+    except Exception as exc:
+        out["ok"] = False
+        out["melspec_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        log(f"melspec pair FAILED ({type(exc).__name__}) — continuing")
 
     print(json.dumps(out))
     return 0

@@ -11,14 +11,20 @@ exec 9> docs/tpu_results/watch.lock
 flock -n 9 || { echo "another watcher holds the lock; exiting"; exit 0; }
 LOG=docs/tpu_results/watch.log
 probe() {
-  timeout 90 python -c \
-    "import jax, jax.numpy as jnp; assert float((jnp.ones((8,8))*2).sum())==128.0; print(jax.devices())" \
-    >/dev/null 2>&1
+  # MUST force a fresh compile: during the degraded-tunnel state cached
+  # programs run while every new compile hits UNIMPLEMENTED (2026-08-19).
+  timeout 90 python -c "
+import time, jax, jax.numpy as jnp
+k = int(time.time()) % 977 + 8
+x = jnp.ones((8, k))
+assert float(jnp.pad(x, ((0, 1), (1, 0)))[:8, 1:].sum()) == 8.0 * k
+print(jax.devices())
+" >/dev/null 2>&1
 }
 while true; do
   if probe; then
     echo "$(date -Is) tunnel ALIVE -> session" >> "$LOG"
-    timeout 5400 bash scripts/tpu_session.sh >> "$LOG" 2>&1
+    timeout 10800 bash scripts/tpu_session.sh >> "$LOG" 2>&1
     echo "$(date -Is) session done (rc=$?)" >> "$LOG"
     sleep 300
   else
