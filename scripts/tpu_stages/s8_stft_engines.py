@@ -118,6 +118,10 @@ ARMS = (
     ("auto_default", {}),
     # Opt-in fused framing+window+DFT Pallas kernel (frames never in HBM).
     ("fused", {"ZAFTPU_FUSED": "1"}),
+    # Fused kernel with the in-VMEM 4-pass bf16-split dot (the headline
+    # precision dial): host-presplit bf16 operators + reduce_precision
+    # frame split inside the kernel.
+    ("fused_split4", {"ZAFTPU_FUSED": "1", "ZAFTPU_PRECISION": "split4"}),
 )
 
 
@@ -158,7 +162,7 @@ def main():
     # the remote Mosaic compiler IS a result (tracked by stage s9), and conv
     # is a known non-viable formulation at this scale. Engine arms gate ok.
     gating = [r for label, r in results.items()
-              if label not in ("fused", "conv")]
+              if label not in ("fused", "fused_split4", "conv")]
     print(json.dumps({"ok": all(r.get("arm_ok") for r in gating),
                       "arms": results}))
     return 0

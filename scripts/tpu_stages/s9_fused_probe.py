@@ -1,19 +1,23 @@
-"""Stage 9: bisect the fused-kernel Mosaic failure on hardware.
+"""Stage 9: probe the fused analysis kernel on hardware.
 
-2026-08-17: the tunnel's remote Mosaic compiler (tpu_compile_helper) returns
-HTTP 500 on zaftpu.pallas.fused.frames_rfft while the framing/OLA kernels
-compile fine. This stage runs a ladder of candidate kernels — each in its
-own subprocess, since one failed compile poisons later device fetches — to
-find which feature breaks it:
+Round 2 bisected the original fused kernel's Mosaic failure: the tunnel's
+remote compiler rejects 2-D grids (grid2 fails) while 1-D-grid dot kernels,
+3-D operand blocks, and the manual-DMA framing kernel all compile. Round 3
+reformulated zaftpu.pallas.fused inside that accepted set (one 1-D-grid
+pallas_call per operator component). This ladder proves the new kernel —
+each case in its own subprocess, since one failed compile poisons later
+device fetches:
 
   dot_min       — plain (128,2048)@(2048,1152) dot_general in a kernel
   dot_highest   — same with Precision.HIGHEST
-  op3d          — operator passed as a (1, 2048, 1152) 3-D block
-  grid2         — (2, T) grid with the operator block indexed by axis 0
+  grid2         — 2-D grid canary (expected to stay broken on this tunnel)
+  reduceprec    — in-kernel lax.reduce_precision + bf16x bf16->f32 dots
+                  (the split4 scheme's primitives)
   fused_small   — the real frames_rfft, wl=512 (2.3 MB operator)
   fused_full    — the real frames_rfft, wl=2048 (the production shape)
+  fused_split4  — frames_rfft under ZAFTPU_PRECISION=split4 (in-VMEM 4-pass)
 
-Prints ONE JSON line. If fused_full passes, flip ZAFTPU_FUSED default.
+Prints ONE JSON line. If fused_full passes, flip the ZAFTPU_FUSED default.
 """
 
 import json
@@ -55,21 +59,29 @@ out = pl.pallas_call(kern,
     out_shape=jax.ShapeDtypeStruct((128, 1152), jnp.float32))(a, b)
 print(float(jnp.abs(out - a @ b).max()))
 """,
-    "op3d": """
+    "reduceprec": """
 import numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 def kern(a, b, o):
-    o[0, :, :] = jax.lax.dot_general(a[:, :], b[0], (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    fr = a[:, :]
+    hi = jax.lax.reduce_precision(fr, exponent_bits=8, mantissa_bits=7)
+    ah, al = hi.astype(jnp.bfloat16), (fr - hi).astype(jnp.bfloat16)
+    def mm(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    o[:, :] = (mm(al, b[1]) + mm(al, b[0])) + (mm(ah, b[1]) + mm(ah, b[0]))
 a = jnp.asarray(np.random.default_rng(0).standard_normal((128, 2048)).astype(np.float32))
-b = jnp.asarray(np.random.default_rng(1).standard_normal((1, 2048, 1152)).astype(np.float32))
+bh = np.random.default_rng(1).standard_normal((2048, 1152)).astype(np.float32)
+import ml_dtypes
+b = jnp.asarray(np.stack([bh, bh * 2**-8]).astype(ml_dtypes.bfloat16))
 out = pl.pallas_call(kern,
     in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-              pl.BlockSpec((1, 2048, 1152), lambda: (0, 0, 0), memory_space=pltpu.VMEM)],
-    out_specs=pl.BlockSpec((1, 128, 1152), lambda: (0, 0, 0), memory_space=pltpu.VMEM),
-    out_shape=jax.ShapeDtypeStruct((1, 128, 1152), jnp.float32))(a, b)
-print(float(jnp.abs(out[0] - a @ b[0]).max()))
+              pl.BlockSpec(memory_space=pltpu.VMEM)],
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    out_shape=jax.ShapeDtypeStruct((128, 1152), jnp.float32))(a, b)
+ref = a @ (b[0].astype(jnp.float32) + b[1].astype(jnp.float32))
+print(float(jnp.abs(out - ref).max() / jnp.abs(ref).max()))
 """,
     "grid2": """
 import numpy as np, jax, jax.numpy as jnp
@@ -102,6 +114,20 @@ ref = np.fft.rfft(frames, axis=-1)
 print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
 """,
     "fused_full": """
+import numpy as np, jax, jax.numpy as jnp
+from zaftpu.pallas import fused
+from zaftpu.core.windows import hamming
+wl, step, t = 2048, 1024, 256
+x = np.random.default_rng(0).standard_normal(t*step + wl).astype(np.float32)
+win = hamming(wl).astype(np.float32)
+out = fused.frames_rfft(jnp.asarray(x), jnp.asarray(win), wl, step, t)
+frames = np.stack([x[i*step:i*step+wl]*win for i in range(t)])
+ref = np.fft.rfft(frames, axis=-1)
+print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
+""",
+    "fused_split4": """
+import os
+os.environ["ZAFTPU_PRECISION"] = "split4"
 import numpy as np, jax, jax.numpy as jnp
 from zaftpu.pallas import fused
 from zaftpu.core.windows import hamming

@@ -150,6 +150,41 @@ def test_fused_frames_rfft_matches_split(wl, step, t):
     np.testing.assert_allclose(out.imag, ref.imag, atol=2e-6 * scale)
 
 
+def test_fused_frames_rfft_split4_matches_policy(monkeypatch):
+    """The in-kernel 4-pass bf16-split scheme must match the XLA-side
+    policy._split4_matmul applied to the same frames/operator (same split,
+    same smallest-first accumulation) to f32 rounding."""
+    from zaftpu.core import policy
+    from zaftpu.pallas import fused as pfused
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    wl, step, t = 512, 256, 40
+    rng = np.random.default_rng(5)
+    padded = rng.standard_normal(t * step + wl - step).astype(np.float32)
+    win = hamming(wl).astype(np.float32)
+    frames = np.asarray(pframing.frame_window(
+        jnp.asarray(padded), jnp.asarray(win), wl, step, t, interpret=True))
+    ref = np.fft.rfft(frames.astype(np.float64), axis=-1)
+    out = np.asarray(pfused.frames_rfft(
+        jnp.asarray(padded), jnp.asarray(win), wl, step, t, interpret=True))
+    assert out.shape == (t, wl // 2 + 1)
+    # split4 accuracy class: ~104 dB vs exact — gate at 1e-4 relative.
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out.real, ref.real, atol=1e-4 * scale)
+    np.testing.assert_allclose(out.imag, ref.imag, atol=1e-4 * scale)
+    # The host presplit must be the exact reduce_precision split.
+    ops = pfused._rdft_ops_padded(wl)
+    import jax
+
+    hi_dev = jax.lax.reduce_precision(jnp.asarray(ops[0]), exponent_bits=8,
+                                      mantissa_bits=7)
+    hi_host, lo_host = pfused._bf16_split_host(ops[0])
+    np.testing.assert_array_equal(hi_host, np.asarray(hi_dev))
+    np.testing.assert_array_equal(
+        lo_host.astype(np.float32),
+        np.asarray((jnp.asarray(ops[0]) - hi_dev)))
+
+
 def test_fused_stft_dispatch_matches_xla(monkeypatch):
     """Full stft() through the fused-kernel dispatch (engine + Pallas on)
     equals the default XLA program. CPU runs the kernel in interpret mode

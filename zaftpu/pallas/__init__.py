@@ -112,11 +112,13 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     the shapes are kernel-aligned, this runs the fully fused Pallas kernel
     (framing + window + DFT GEMM in VMEM — the frame matrix never touches
     HBM); otherwise the split framing-then-rfft path, which itself follows
-    the engine dispatch. Opt-in until the kernel is proven under the
-    tunnel's remote Mosaic compiler (2026-08-17: tpu_compile_helper 500s on
-    it while the framing/OLA kernels compile fine — and a failed Mosaic
-    compile poisons the process for later fetches, so the guarded fallback
-    cannot fully contain it)."""
+    the engine dispatch. The round-2 kernel was rejected by the tunnel's
+    remote Mosaic compiler (2-D grids, docs/tpu_results/fused_probe.json);
+    the round-3 reformulation stays inside the proven feature set (1-D grid
+    per operator component — see pallas/fused.py). Opt-in until proven on
+    hardware by the s9 probe + s8 timing arms: a failed Mosaic compile
+    poisons the process for later fetches, so the guarded fallback cannot
+    fully contain it."""
     from zaftpu.core import fft as _fft
     from zaftpu.pallas import fused as _fused
 

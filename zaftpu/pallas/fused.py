@@ -8,11 +8,24 @@ This kernel never materializes frames in HBM: each grid step DMAs its
 overlapping signal segment into VMEM, forms the windowed frames in a VMEM
 scratch, and feeds the MXU directly, writing only the spectra.
 
-Grid layout ``(C, T_blocks)`` with the operator component c (cos / sin for
-the rfft) on the *outer* axis: Pallas keeps the ``(WL, F_pad)`` operator
-block resident in VMEM across all inner frame-block steps, so each ~8 MB
-operator is fetched from HBM once per sweep and the signal is read C times
-(tiny next to the frame matrix it replaces).
+Mosaic-compatibility (2nd formulation): the first version ran a ``(C,
+T_blocks)`` 2-D grid with the cos/sin operator indexed by the outer axis —
+the tunnel's remote Mosaic compiler rejects 2-D grids outright
+(docs/tpu_results/fused_probe.json: ``grid2`` fails while 1-D-grid dot
+kernels, 3-D operand blocks, and the manual-DMA framing kernel all compile).
+This version stays inside the proven feature set: ONE grid axis over frame
+blocks, one pallas_call per operator component (cos, sin), each call =
+the hardware-proven framing kernel body + the hardware-proven
+``dot_general``. The signal is read twice (tiny next to the frame-matrix
+round trip it replaces) and each ~9 MB operator stays VMEM-resident across
+all grid steps.
+
+Precision: the dot honors the exact-path dial (HIGHEST default). Under
+``ZAFTPU_PRECISION=split4`` the kernel runs the same 4-pass bf16-split
+scheme as :func:`zaftpu.core.policy._split4_matmul` *in VMEM*: the operator
+ships as a host-presplit ``(2, WL, F_pad)`` bf16 (hi, lo) stack and the
+frames split through ``lax.reduce_precision`` (the cast-round-trip elision
+trap, policy.py:155) — 4 MXU passes, f32 accumulation, smallest-first.
 
 Same eligibility rules as the framing kernel (``step % 128 == 0``,
 ``WL % step == 0``, float32, 1-D) plus the direct-engine size gate; callers
@@ -33,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zaftpu.pallas.framing import _read_rows
 
-BLOCK_FRAMES = 128  # frames per grid step (VMEM budget: ~9 MB operator
-                    # block + ~1 MB frames scratch + segment + output)
+BLOCK_FRAMES = 128  # frames per grid step (VMEM budget: ~9 MB operator +
+                    # ~1 MB frames scratch + segment + output block)
 
 
 def supported(window_length: int, step: int, dtype) -> bool:
@@ -63,9 +76,41 @@ def _rdft_ops_padded(n: int):
     return ops
 
 
-def _kernel(k: int, block: int, precision, sig_ref, win_ref, op_ref,
-            out_ref, seg, frames, sem):
-    i = pl.program_id(1)
+def _bf16_split_host(m: np.ndarray):
+    """Host twin of policy._bf16_split: exact (hi, lo) bf16 pair per entry
+    (numpy has no bf16; emulate via the f32 bit pattern truncation that
+    ``reduce_precision(8, 7)`` performs, round-to-nearest-even)."""
+    f32 = m.astype(np.float32)
+    bits = f32.view(np.uint32)
+    # round to nearest even at 16 bits: add 0x7FFF + lsb-of-kept-part
+    lsb = (bits >> 16) & 1
+    hi_bits = (bits + 0x7FFF + lsb) & 0xFFFF0000
+    hi = hi_bits.view(np.float32)
+    lo = f32 - hi
+    return hi, lo
+
+
+@lru_cache(maxsize=8)
+def _rdft_ops_split(n: int):
+    """Host-presplit ``(2, 2, N, F_pad)`` bf16 operator stack for the
+    in-kernel split4 scheme: axis 0 = component (cos, sin), axis 1 =
+    (hi, lo)."""
+    import ml_dtypes
+
+    ops = _rdft_ops_padded(n)
+    out = np.zeros((2, 2) + ops.shape[1:], ml_dtypes.bfloat16)
+    for c in range(2):
+        hi, lo = _bf16_split_host(ops[c])
+        out[c, 0] = hi.astype(ml_dtypes.bfloat16)
+        out[c, 1] = lo.astype(ml_dtypes.bfloat16)
+    return out
+
+
+def _frame_block(k: int, block: int, sig_ref, win_ref, seg, frames, sem):
+    """The hardware-proven framing body (framing._kernel): DMA this grid
+    step's overlapping signal rows into VMEM and emit windowed frames into
+    the ``frames`` scratch."""
+    i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         sig_ref.at[pl.ds(i * block, _read_rows(block, k)), :], seg, sem)
     copy.start()
@@ -73,10 +118,36 @@ def _kernel(k: int, block: int, precision, sig_ref, win_ref, op_ref,
     step = seg.shape[1]
     for c in range(k):
         frames[:, c * step:(c + 1) * step] = seg[c:c + block, :] * win_ref[c, :]
-    out_ref[0, :, :] = jax.lax.dot_general(
-        frames[:, :], op_ref[0],
+
+
+def _kernel(k: int, block: int, precision, sig_ref, win_ref, op_ref,
+            out_ref, seg, frames, sem):
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+    out_ref[:, :] = jax.lax.dot_general(
+        frames[:, :], op_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=precision, preferred_element_type=jnp.float32)
+
+
+def _kernel_split4(k: int, block: int, sig_ref, win_ref, op_ref,
+                   out_ref, seg, frames, sem):
+    """4-pass bf16-split dot (policy._split4_matmul in VMEM): operator
+    arrives host-presplit bf16 (hi, lo); frames split via reduce_precision
+    (a plain cast round trip is elided by XLA's excess-precision rule and
+    collapses the scheme to one bf16 pass — policy.py:155)."""
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+    fr = frames[:, :]
+    fr_hi = jax.lax.reduce_precision(fr, exponent_bits=8, mantissa_bits=7)
+    ah = fr_hi.astype(jnp.bfloat16)
+    al = (fr - fr_hi).astype(jnp.bfloat16)
+    bh, bl = op_ref[0], op_ref[1]
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out_ref[:, :] = ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
 
 
 @functools.partial(jax.jit, static_argnames=("window_length", "step",
@@ -88,7 +159,11 @@ def frames_matmul(padded, window, ops, window_length: int, step: int,
     component, without materializing the frames in HBM.
 
     Returns ``(C, number_times, F_pad)`` float32; callers slice the valid
-    ``F`` columns. ``ops`` is ``(C, window_length, F_pad)``.
+    ``F`` columns. ``ops`` is ``(C, window_length, F_pad)`` float32 for the
+    exact path, or ``(C, 2, window_length, F_pad)`` bf16 (hi, lo presplit)
+    for ``precision="split4"`` — each component runs as its own 1-D-grid
+    pallas_call (the remote Mosaic rejects 2-D grids,
+    docs/tpu_results/fused_probe.json).
     """
     k = window_length // step
     block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
@@ -100,28 +175,40 @@ def frames_matmul(padded, window, ops, window_length: int, step: int,
         padded = jnp.pad(padded, (0, need - padded.shape[0]))
     sig2d = padded.reshape(rows, step)
     win2d = window.reshape(k, step).astype(padded.dtype)
-    n_comp, _, f_pad = ops.shape
+    split4 = precision == "split4"
+    n_comp, f_pad = ops.shape[0], ops.shape[-1]
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, k, block, precision),
-        grid=(n_comp, t_pad // block),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k, step), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window_length, f_pad), lambda j, i: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block, f_pad), lambda j, i: (j, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_comp, t_pad, f_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((_read_rows(block, k), step), padded.dtype),
-            pltpu.VMEM((block, window_length), padded.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(sig2d, win2d, ops)
+    if split4:
+        kern = functools.partial(_kernel_split4, k, block)
+        op_block = pl.BlockSpec((2, window_length, f_pad), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        kern = functools.partial(_kernel, k, block, precision)
+        op_block = pl.BlockSpec((window_length, f_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+    def one_component(op):
+        return pl.pallas_call(
+            kern,
+            grid=(t_pad // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((k, step), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                op_block,
+            ],
+            out_specs=pl.BlockSpec((block, f_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((_read_rows(block, k), step), padded.dtype),
+                pltpu.VMEM((block, window_length), padded.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(sig2d, win2d, op)
+
+    out = jnp.stack([one_component(ops[c]) for c in range(n_comp)])
     return out[:, :number_times, :]
 
 
@@ -129,13 +216,18 @@ def frames_rfft(padded, window, window_length: int, step: int,
                 number_times: int, interpret: bool = False):
     """Fused windowed-frames rfft: ``(T, WL//2+1)`` complex64 half-spectrum
     in a single HBM pass over the signal (no frame materialization)."""
-    from zaftpu.core.policy import matmul_precision
+    from zaftpu.core.policy import matmul_precision, split4_enabled
     from zaftpu.utils.devcache import pinned_device_constant
 
     f = window_length // 2 + 1
-    ops = pinned_device_constant(_rdft_ops_padded(window_length), np.float32)
+    if split4_enabled():
+        ops = pinned_device_constant(_rdft_ops_split(window_length),
+                                     jnp.bfloat16)
+        precision = "split4"
+    else:
+        ops = pinned_device_constant(_rdft_ops_padded(window_length),
+                                     np.float32)
+        precision = matmul_precision()
     out = frames_matmul(padded, window, ops, window_length, step,
-                        number_times, matmul_precision(),
-                        interpret=interpret)
+                        number_times, precision, interpret=interpret)
     return jax.lax.complex(out[0, :, :f], out[1, :, :f])
-
