@@ -82,6 +82,8 @@ run_stage cqt_tune   3000 python scripts/tpu_stages/s7_cqt_tune.py
 run_stage fused_probe 1800 python scripts/tpu_stages/s9_fused_probe.py
 run_stage stft_engines 4500 python scripts/tpu_stages/s8_stft_engines.py
 run_stage stft_breakdown 1500 python scripts/tpu_stages/s11_stft_breakdown.py
+# Bisect the shard_map UNIMPLEMENTED (s13 failed whole on 2026-08-20).
+run_stage shardmap_probe 2100 python scripts/tpu_stages/s14_shardmap_probe.py
 # The sharded layer on the real chip (VERDICT r2 item 2) — cheap, high value.
 run_stage sharded_tpu 1800 python scripts/tpu_stages/s13_sharded_tpu.py
 # default@600 + split4@600 (1200 s budgets) + hour@3600 (2400 s) + slack.

@@ -1,28 +1,31 @@
 """Stage 11: where does the STFT spend its time on the chip?
 
 Round-2 history: the MFU table showed the STFT GEMMs at ~28-36% of engine
-peak while the MDCT's folded GEMM hit 54-68% — and this stage's prefix
+peak while the MDCT's folded GEMM hit 54-68% — and the round-2 prefix
 decomposition attributed the gap to the conjugate-mirror lane gather +
-complex transpose (5.5 ms of the 15.0 ms 10-min STFT) and the ISTFT's lane
-fold (~5 ms of 14.7 ms). The bins-major rewrite (zaftpu/core/fft.py
-full_from_half_t / direct_real_ifft_t) moved the mirror/fold to major-axis
-reversed slices in the final layout and folded the COLA gain into the
-inverse operator.
+complex transpose. Round 3 built the bins-major mirror/fold on that
+prediction and this stage's A/B PROVED IT WRONG on hardware (stft 1.49M vs
+stft_old 1.72M fr/s): the defaults were reverted to the lane-gather
+formulation (zaftpu/transforms/stft.py, pallas.synthesis_ola), keeping the
+COLA-gain-in-operator win. The bins-major functions survive as the
+measured A/B arms here.
 
-This stage now measures, at 10-min scale:
+This stage measures, at 10-min scale:
 
-  frames       pad + framing + window                  (T, WL) f32
-  half         + direct rfft (cos & sin GEMMs)         (T, WL/2+1) c64
-  stft         + bins-major conjugate mirror           == public zaftpu.stft
-  stft_old     the round-2 formulation (lane-gather mirror + complex
-               transpose) — the A/B proving the rewrite's win
-  cat1         ONE (WL, WL+2) [cos | sin] GEMM candidate (informational)
-  mdct_ref     the MDCT-shaped (WL, WL/2) real GEMM — the known-68% point
+  frames        pad + framing + window                  (T, WL) f32
+  half          + direct rfft (cos & sin GEMMs)         (T, WL/2+1) c64
+  stft          + lane-gather mirror + complex transpose == public stft
+  stft_binsmaj  the bins-major formulation (transpose planes + reversed
+                major-axis concat) — the measured-slower round-3 rewrite
+  cat1          ONE (WL, WL+2) [cos | sin] GEMM + the default mirror —
+                single pass over the frame matrix (informational)
+  stft_fused    public stft under ZAFTPU_FUSED=1 (the 1-D-grid fused
+                framing+window+DFT kernel; trace-coherent env flip)
+  mdct_ref      the MDCT-shaped (WL, WL/2) real GEMM — the known-68% point
 
-  istft        public ISTFT (bins-major fold, COLA gain in the operator)
-  istft_old    round-2 formulation: complex transpose -> lane fold ->
-               GEMMs -> OLA -> post-division
-  ifold_gemms  fold + inverse GEMMs only (no OLA/trim) on the new layout
+  istft         public ISTFT (lane fold, COLA gain in the operator)
+  istft_binsmaj bins-major fold + transpose-free einsum (measured-slower)
+  ifold_gemms   fold + inverse GEMMs only (no OLA/trim), default layout
 
 Prints ONE JSON line. The engine-peak ratio for the headline:
 stft engine peak = mdct_ref's fr/s x (1024/1025) x 1/2 (two GEMM components
@@ -92,20 +95,18 @@ def main():
     def p_half(sig):
         return _fft.direct_rfft(frames_of(sig))
 
-    # p_stft == zaftpu.stft's program (engine path, bins-major mirror); use
+    # p_stft == zaftpu.stft's program (engine path, lane-gather mirror); use
     # the public API so the number is directly comparable to s8/bench.
     def p_stft(sig):
         return zaftpu.stft(sig, win, STEP)
 
-    # Round-2 formulation: lane-gather mirror in (T, WL) then a complex
-    # transpose to (WL, T). The bins-major rewrite exists to beat this.
+    # The round-3 bins-major rewrite — measured slower, kept as the A/B arm.
     @jax.jit
-    def p_stft_old(sig):
-        full = _fft.full_from_half(_fft.direct_rfft(frames_of(sig)), WL)
-        return jnp.swapaxes(full, -1, -2)
+    def p_stft_binsmaj(sig):
+        return _fft.full_from_half_t(_fft.direct_rfft(frames_of(sig)), WL)
 
     # Candidate: one concatenated [cos | sin] GEMM — a single pass over the
-    # frame matrix, complex assembly from two slices of one result.
+    # frame matrix — then the default lane-gather mirror + transpose.
     cos_m, sin_m = _direct_rdft_mats(WL, "float32")
     cat_np = np.concatenate([np.asarray(cos_m), np.asarray(sin_m)], axis=1)
     mref_np = np.asarray(cos_m)[:, :WL // 2].copy()
@@ -116,7 +117,16 @@ def main():
         both = real_matmul(fr, jnp.asarray(cat_np))
         half = jax.lax.complex(both[..., :WL // 2 + 1],
                                both[..., WL // 2 + 1:])
-        return _fft.full_from_half_t(half, WL)
+        return jnp.swapaxes(_fft.full_from_half(half, WL), -1, -2)
+
+    # Public stft under the fused Pallas kernel (the zjit dispatch snapshot
+    # keys the trace on ZAFTPU_FUSED, so an in-process flip retraces).
+    def p_stft_fused(sig):
+        os.environ["ZAFTPU_FUSED"] = "1"
+        try:
+            return zaftpu.stft(sig, win, STEP)
+        finally:
+            os.environ.pop("ZAFTPU_FUSED", None)
 
     # Reference point: the MDCT-shaped single real GEMM on the same frames
     # (the known-68% engine-peak point from the MFU table).
@@ -144,47 +154,51 @@ def main():
     run("frames", p_frames, x)
     run("half", p_half, x)
     run("stft", p_stft, x)
-    run("stft_old", p_stft_old, x, gate=False)
+    run("stft_binsmaj", p_stft_binsmaj, x, gate=False)
     run("cat1", p_cat1, x, gate=False)
+    run("stft_fused", p_stft_fused, x, gate=False)
     run("mdct_ref", p_mdct_ref, x, gate=False)
 
-    try:  # the bins-major mirror must be bit-identical to the old one
-        err = jax.jit(lambda s: jnp.max(jnp.abs(p_stft_old(s) - p_stft(s))))(x)
-        out["old_vs_new_max_abs_err"] = float(jax.device_get(err))
+    try:  # the bins-major mirror must be bit-identical to the default
+        err = jax.jit(
+            lambda s: jnp.max(jnp.abs(p_stft_binsmaj(s) - p_stft(s))))(x)
+        out["binsmaj_vs_default_max_abs_err"] = float(jax.device_get(err))
     except Exception as exc:  # noqa: BLE001
-        out["old_vs_new_max_abs_err"] = f"{type(exc).__name__}"[:80]
+        out["binsmaj_vs_default_max_abs_err"] = f"{type(exc).__name__}"[:80]
 
-    # ISTFT pipeline on the new bins-major layout.
+    # ISTFT pipeline: default (lane fold, COLA gain in the operator) vs the
+    # bins-major arm.
     spec = zaftpu.stft(x, win, STEP)
     gain = cola_gain(np.asarray(win), STEP)
 
     @jax.jit
     def p_fold_gemms(sp):
-        return _fft.direct_real_ifft_t(sp, scale=1.0 / gain)
+        return _fft.direct_real_ifft(jnp.swapaxes(sp, -1, -2),
+                                     scale=1.0 / gain)
 
     def p_istft(sp):
         return zaftpu.istft(sp, win, STEP)
 
-    # Round-2 formulation: transpose to frames-major, lane fold, GEMMs,
-    # OLA, then the post-division by the COLA gain.
     @jax.jit
-    def p_istft_old(sp):
-        frames = _fft.direct_real_ifft(jnp.swapaxes(sp, -1, -2))
+    def p_istft_binsmaj(sp):
+        frames = _fft.direct_real_ifft_t(sp, scale=1.0 / gain)
         sig = _pallas.overlap_add(frames, STEP)
-        sig = sig / jnp.asarray(gain, sig.dtype)
         edge = WL - STEP
         return sig[..., edge:sig.shape[-1] - edge]
 
     run("ifold_gemms", p_fold_gemms, spec)
     run("istft", p_istft, spec)
-    run("istft_old", p_istft_old, spec, gate=False)
+    run("istft_binsmaj", p_istft_binsmaj, spec, gate=False)
 
-    try:  # COLA-in-operator must match post-division to f32 rounding
+    try:  # the two fold layouts must agree to f32 rounding
         err = jax.jit(
-            lambda sp: jnp.max(jnp.abs(p_istft_old(sp) - p_istft(sp))))(spec)
-        out["istft_old_vs_new_max_abs_err"] = float(jax.device_get(err))
+            lambda sp: jnp.max(jnp.abs(p_istft_binsmaj(sp) - p_istft(sp))))(
+                spec)
+        out["istft_binsmaj_vs_default_max_abs_err"] = float(
+            jax.device_get(err))
     except Exception as exc:  # noqa: BLE001
-        out["istft_old_vs_new_max_abs_err"] = f"{type(exc).__name__}"[:80]
+        out["istft_binsmaj_vs_default_max_abs_err"] = (
+            f"{type(exc).__name__}"[:80])
 
     # Deltas + engine-peak ratios for quick reading.
     for a, b, name in (("frames", "half", "d_gemm"),
@@ -199,6 +213,9 @@ def main():
         ideal = out["mdct_ref"]["seconds"] * 2 * 1025 / 1024
         out["stft_pct_of_engine_peak"] = round(
             100.0 * ideal / out["stft"]["seconds"], 1)
+        if "seconds" in out.get("stft_fused", {}):
+            out["stft_fused_pct_of_engine_peak"] = round(
+                100.0 * ideal / out["stft_fused"]["seconds"], 1)
         if "seconds" in out.get("istft", {}):
             out["istft_pct_of_engine_peak"] = round(
                 100.0 * ideal / out["istft"]["seconds"], 1)

@@ -211,6 +211,32 @@ def test_fused_stft_dispatch_matches_xla(monkeypatch):
     np.testing.assert_allclose(out.imag, ref.imag, atol=3e-6 * scale)
 
 
+def test_fused_mdct_dispatch_matches_xla(monkeypatch):
+    """Full mdct() through the fused-kernel dispatch (single-component
+    operator) equals the default direct-GEMM program. CPU runs the kernel
+    in interpret mode via a shim; on TPU the same dispatch hits Mosaic."""
+    import functools
+
+    import zaftpu
+    from zaftpu.core.windows import vorbis
+    from zaftpu.pallas import fused as pfused
+
+    monkeypatch.setattr(
+        pfused, "frames_op",
+        functools.partial(pfused.frames_op, interpret=True))
+    rng = np.random.default_rng(7)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    win = vorbis(2048).astype(np.float32)
+    ref = np.asarray(zaftpu.mdct(sig, win))
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setenv("ZAFTPU_FUSED", "1")
+    out = np.asarray(zaftpu.mdct(sig, win))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=3e-6 * scale)
+
+
 def test_mirror_fold_kernels_interpret():
     """Pallas mirror/fold plane kernels, both reversal strategies, must be
     bit-exact vs the gather formulation's math (zaf.py:139 mirror;
@@ -279,11 +305,10 @@ def test_mirror_dispatch_matches_default(monkeypatch):
         out = np.asarray(zaftpu.stft(sig, win, 1024))
         np.testing.assert_array_equal(out, ref)
         rec = np.asarray(zaftpu.istft(jnp.asarray(ref), win, 1024))
-        # The default engine ISTFT folds the COLA gain into the inverse
-        # operator and contracts the Hermitian fold bins-major
-        # (core.fft.direct_real_ifft_t); the Pallas-mirror path keeps the
-        # lane fold + post-division — a legitimately different f32
-        # accumulation order, so float-noise close rather than bitwise.
+        # Both paths fold the COLA gain into the inverse operator; the
+        # Pallas fold kernel and the XLA lane gather can differ in f32
+        # accumulation order through the downstream GEMM tiling, so
+        # float-noise close rather than bitwise.
         np.testing.assert_allclose(rec, rec_ref,
                                    atol=2e-5 * np.abs(rec_ref).max())
     finally:

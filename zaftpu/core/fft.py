@@ -162,16 +162,14 @@ def full_from_half_t(half: jnp.ndarray, n: int) -> jnp.ndarray:
     ``(..., T, n//2+1)`` — same values as
     ``swapaxes(full_from_half(half, n), -1, -2)``.
 
-    The conjugate mirror here is a *major-axis* reversed slice in the final
-    layout instead of :func:`full_from_half`'s lane-dimension gather:
-    reversing lanes (the minor dimension) is a slow relayout on TPU and the
-    gather formulation measured 5.5 ms of the 15.0 ms 10-min STFT — 37% of
-    the transform for pure data movement
-    (docs/tpu_results/stft_breakdown.json). Reversing sublane blocks is a
-    cheap copy, and XLA fuses the transpose + reversed-slice concat + complex
-    assembly into the output write. ``real()/imag()`` of an upstream
-    ``lax.complex`` fuse away, so the half spectrum is never materialized as
-    complex.
+    NOT the default: predicted to win from the round-2 prefix
+    decomposition, but measured 13% slower than
+    ``swapaxes(full_from_half(half))`` on the v5e (10-min STFT 1.49M vs
+    1.72M fr/s, bit-identical — docs/tpu_results/stft_breakdown.json
+    round 3, arms stft vs stft_old): the two plane transposes + reversed
+    major-axis concat relayout cost more than the lane gather + single
+    complex transpose they replace. Kept as the measured A/B arm
+    (scripts/tpu_stages/s11_stft_breakdown.py).
     """
     import jax
 
@@ -382,8 +380,8 @@ def direct_rfft(x: jnp.ndarray) -> jnp.ndarray:
         real_matmul(xr, jnp.asarray(sin_m)))
 
 
-def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
-    """``real(ifft(Z))`` of small spectra as two half-width MXU GEMMs.
+def direct_real_ifft(z: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """``real(ifft(Z)) * scale`` of small spectra as two half-width MXU GEMMs.
 
     Valid for *arbitrary* (possibly non-Hermitian) complex input — the same
     semantics as :func:`real_ifft`'s full complex inverse, so masked spectra
@@ -394,14 +392,18 @@ def direct_real_ifft(z: jnp.ndarray) -> jnp.ndarray:
     one elementwise pass; the inverse then costs a ``(T, N/2+1) @ (N/2+1,
     N)`` GEMM pair — half the MXU work of the full ``(T, N) @ (N, N)``
     formulation. This is the ISTFT synthesis hot path (reference
-    zaf.py:222-233).
+    zaf.py:222-233). ``scale`` folds a constant division (the ISTFT's COLA
+    gain, zaf.py:241) into the host-precomputed operator columns — exact
+    linear algebra, kills the post-OLA elementwise pass; rounding differs
+    from a post-division by ≤1 ulp.
     """
     from zaftpu.core.policy import real_matmul
 
     n = z.shape[-1]
     half = n // 2 + 1
     rdtype = jnp.result_type(jnp.real(z), jnp.float32)
-    cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name)
+    cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name,
+                                           float(scale))
     # Hermitian fold H_k = (Z_k + conj(Z_{(N-k) mod N})) / 2, done on the
     # real/imag planes with an index gather: reverse-slicing the minor
     # (lane) dimension of a complex array is a slow relayout on TPU — the
@@ -437,13 +439,12 @@ def direct_real_ifft_t(z: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     spectra ``(..., N, T)`` — same values as
     ``direct_real_ifft(swapaxes(z, -1, -2)) * scale``.
 
-    The Hermitian fold runs along the *major* axis of the input layout
-    (reversed sublane-block slice) instead of :func:`direct_real_ifft`'s
-    lane gather after a complex transpose — the lane formulation measured
-    ~5 ms of the 14.7 ms 10-min ISTFT (docs/tpu_results/stft_breakdown.json;
-    same relayout pathology as the forward mirror). ``scale`` folds a COLA
-    gain division into the host-precomputed inverse operator (exact linear
-    algebra; rounding differs from a post-division by ≤1 ulp).
+    NOT the default: the major-axis fold + transpose-free einsum was
+    predicted to win but measured 8% slower than the lane-gather fold on
+    the v5e (10-min ISTFT 1.62M vs 1.75M fr/s —
+    docs/tpu_results/stft_breakdown.json round 3, arms istft vs
+    istft_old). Kept as the measured A/B arm; the COLA-gain-in-operator
+    idea it introduced survives in :func:`direct_real_ifft`'s ``scale``.
     """
     from zaftpu.core.policy import real_matmul_tn
 

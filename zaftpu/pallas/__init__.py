@@ -147,18 +147,19 @@ def synthesis_ola(spectra, step: int, gain: float = 1.0):
     """Synthesis back end from *bins-major* spectra ``(..., N, T)``:
     ``overlap_add(real_ifft(spectraᵀ), step) / gain``.
 
-    On the direct-GEMM engine path the Hermitian fold runs along the major
-    axis of the input layout and the COLA gain division folds into the
-    inverse operator (:func:`zaftpu.core.fft.direct_real_ifft_t` — the lane
-    fold it replaces cost ~a third of the 10-min ISTFT,
-    docs/tpu_results/stft_breakdown.json); otherwise the split
-    transpose + real_ifft + OLA path with a post-division."""
+    On the direct-GEMM engine path the COLA gain division folds into the
+    host-precomputed inverse operator columns
+    (:func:`zaftpu.core.fft.direct_real_ifft` ``scale`` — kills the
+    post-OLA elementwise pass); the transpose + lane-gather fold layout is
+    the measured-faster formulation (the bins-major major-axis fold
+    measured 8% slower on the chip, docs/tpu_results/stft_breakdown.json
+    round 3). Off the engine path: real_ifft + OLA + post-division."""
     from zaftpu.core import fft as _fft
 
     n = spectra.shape[-2]
-    if (_fft.direct_engine_enabled(n)
-            and not (os.environ.get("ZAFTPU_MIRROR") == "pallas")):
-        frames = _fft.direct_real_ifft_t(spectra, scale=1.0 / gain)
+    if _fft.direct_engine_enabled(n):
+        frames = _fft.direct_real_ifft(jnp.swapaxes(spectra, -1, -2),
+                                       scale=1.0 / gain)
         return overlap_add(frames, step)
     frames = _fft.real_ifft(jnp.swapaxes(spectra, -1, -2))
     out = overlap_add(frames, step)

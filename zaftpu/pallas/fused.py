@@ -90,22 +90,6 @@ def _bf16_split_host(m: np.ndarray):
     return hi, lo
 
 
-@lru_cache(maxsize=8)
-def _rdft_ops_split(n: int):
-    """Host-presplit ``(2, 2, N, F_pad)`` bf16 operator stack for the
-    in-kernel split4 scheme: axis 0 = component (cos, sin), axis 1 =
-    (hi, lo)."""
-    import ml_dtypes
-
-    ops = _rdft_ops_padded(n)
-    out = np.zeros((2, 2) + ops.shape[1:], ml_dtypes.bfloat16)
-    for c in range(2):
-        hi, lo = _bf16_split_host(ops[c])
-        out[c, 0] = hi.astype(ml_dtypes.bfloat16)
-        out[c, 1] = lo.astype(ml_dtypes.bfloat16)
-    return out
-
-
 def _frame_block(k: int, block: int, sig_ref, win_ref, seg, frames, sem):
     """The hardware-proven framing body (framing._kernel): DMA this grid
     step's overlapping signal rows into VMEM and emit windowed frames into
@@ -212,22 +196,57 @@ def frames_matmul(padded, window, ops, window_length: int, step: int,
     return out[:, :number_times, :]
 
 
+def _dispatch_ops(ops_padded_fn, n: int):
+    """Resolve the (device ops stack, precision tag) pair for the current
+    precision dial: f32 operators + the policy precision on the exact path,
+    host-presplit bf16 (hi, lo) + the in-kernel 4-pass scheme under
+    ``ZAFTPU_PRECISION=split4``. ``ops_padded_fn`` must be an lru-cached
+    host builder returning ``(C, N, F_pad)`` float32 (identity-stable, so
+    ``pinned_device_constant`` can key on it)."""
+    from zaftpu.core.policy import matmul_precision, split4_enabled
+    from zaftpu.utils.devcache import pinned_device_constant
+
+    if split4_enabled():
+        return (pinned_device_constant(_split_ops_of(ops_padded_fn, n),
+                                       jnp.bfloat16), "split4")
+    return (pinned_device_constant(ops_padded_fn(n), np.float32),
+            matmul_precision())
+
+
+@lru_cache(maxsize=16)
+def _split_ops_of(ops_padded_fn, n: int):
+    """Host-presplit ``(C, 2, N, F_pad)`` bf16 stack of any padded-ops
+    builder (keyed by the builder function + length)."""
+    import ml_dtypes
+
+    ops = ops_padded_fn(n)
+    out = np.zeros((ops.shape[0], 2) + ops.shape[1:], ml_dtypes.bfloat16)
+    for c in range(ops.shape[0]):
+        hi, lo = _bf16_split_host(ops[c])
+        out[c, 0] = hi.astype(ml_dtypes.bfloat16)
+        out[c, 1] = lo.astype(ml_dtypes.bfloat16)
+    return out
+
+
 def frames_rfft(padded, window, window_length: int, step: int,
                 number_times: int, interpret: bool = False):
     """Fused windowed-frames rfft: ``(T, WL//2+1)`` complex64 half-spectrum
     in a single HBM pass over the signal (no frame materialization)."""
-    from zaftpu.core.policy import matmul_precision, split4_enabled
-    from zaftpu.utils.devcache import pinned_device_constant
-
     f = window_length // 2 + 1
-    if split4_enabled():
-        ops = pinned_device_constant(_rdft_ops_split(window_length),
-                                     jnp.bfloat16)
-        precision = "split4"
-    else:
-        ops = pinned_device_constant(_rdft_ops_padded(window_length),
-                                     np.float32)
-        precision = matmul_precision()
+    ops, precision = _dispatch_ops(_rdft_ops_padded, window_length)
     out = frames_matmul(padded, window, ops, window_length, step,
                         number_times, precision, interpret=interpret)
     return jax.lax.complex(out[0, :, :f], out[1, :, :f])
+
+
+def frames_op(padded, window, ops_padded_fn, n_cols: int,
+              window_length: int, step: int, number_times: int,
+              interpret: bool = False):
+    """Fused ``windowed_frames @ op`` for a single-component real operator
+    (e.g. the folded MDCT forward matrix): ``(T, n_cols)`` float32 in one
+    HBM pass over the signal. ``ops_padded_fn(window_length)`` must be an
+    lru-cached host builder returning ``(1, WL, F_pad)`` float32."""
+    ops, precision = _dispatch_ops(ops_padded_fn, window_length)
+    out = frames_matmul(padded, window, ops, window_length, step,
+                        number_times, precision, interpret=interpret)
+    return out[0, :, :n_cols]

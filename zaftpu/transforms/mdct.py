@@ -80,12 +80,29 @@ def _direct_inverse_matrix(number_frequencies: int):
     return 2.0 * np.real(pre[:, None] * ang * post[None, :])
 
 
+@lru_cache(maxsize=8)
+def _direct_forward_ops_padded(window_length: int):
+    """:func:`_direct_forward_matrix` as the fused kernel's ``(1, WL,
+    F_pad)`` float32 stack (F = WL/2 is already lane-aligned for
+    power-of-two windows, so F_pad adds nothing there)."""
+    from zaftpu.pallas.fused import _f_pad
+
+    m = _direct_forward_matrix(window_length).astype(np.float32)
+    f = m.shape[1]
+    ops = np.zeros((1, window_length, _f_pad(f)), np.float32)
+    ops[0, :, :f] = m
+    return ops
+
+
 @zjit
 def _mdct_direct_core(audio_signal: jnp.ndarray,
                       window_function: jnp.ndarray,
                       matrix: jnp.ndarray) -> jnp.ndarray:
+    import os
+
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import real_matmul
+    from zaftpu.pallas import fused as _fused
 
     wl = window_function.shape[0]
     step = wl // 2
@@ -93,8 +110,18 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
     t = int(np.ceil(n / step)) + 1
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
-    frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
-    coeffs = real_matmul(frames, matrix.astype(frames.dtype))
+    if (_pallas.enabled() and os.environ.get("ZAFTPU_FUSED") == "1"
+            and padded.ndim == 1 and padded.dtype == jnp.float32
+            and _fused.supported(wl, step, padded.dtype)):
+        # Fused framing+window+GEMM: the (T, WL) frame matrix never
+        # touches HBM (same kernel as the STFT analysis path — the MDCT
+        # operator is a single fused component, zaf.py:1047-1071 chain).
+        coeffs = _fused.frames_op(padded, window_function,
+                                  _direct_forward_ops_padded, step,
+                                  wl, step, t)
+    else:
+        frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
+        coeffs = real_matmul(frames, matrix.astype(frames.dtype))
     return jnp.swapaxes(coeffs, -1, -2)
 
 

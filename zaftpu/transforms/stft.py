@@ -55,11 +55,15 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
 @partial(zjit, static_argnames=("step_length",))
 def _stft_full(audio_signal, window_function, step_length):
     half = _stft_frames_half(audio_signal, window_function, step_length)
-    # Bins-major mirror: the conjugate reconstruction runs as a major-axis
-    # reversed slice in the final (WL, T) layout — the lane-gather + complex
-    # transpose formulation it replaces cost 37% of the 10-min STFT
-    # (docs/tpu_results/stft_breakdown.json).
-    return _fft.full_from_half_t(half, window_function.shape[0])
+    # Lane-gather mirror + one complex transpose. The bins-major
+    # alternative (full_from_half_t: transpose the planes, then a
+    # major-axis reversed-slice concat) was predicted to win from the
+    # round-2 prefix decomposition but measured 13% SLOWER on the chip
+    # (10-min STFT 1.49M vs 1.72M fr/s, bit-identical —
+    # docs/tpu_results/stft_breakdown.json round 3 stft vs stft_old);
+    # this is the measured-faster formulation.
+    full = _fft.full_from_half(half, window_function.shape[0])
+    return jnp.swapaxes(full, -1, -2)
 
 
 def _resolve_analysis_args(window_function, step_length, config, like_dtype):
