@@ -80,6 +80,9 @@ run_stage mmfft32k   900  python scripts/tpu_stages/s5_matmulfft32k.py
 run_stage bf16       900  python scripts/tpu_stages/s6_bf16.py
 run_stage cqt_tune   3000 python scripts/tpu_stages/s7_cqt_tune.py
 run_stage fused_probe 1800 python scripts/tpu_stages/s9_fused_probe.py
+# Second-level fused bisect: which ingredient (1-D grid + dot, scratch +
+# dot, DMA + dot) does the remote Mosaic reject? Health-gated per case.
+run_stage fused_bisect 2400 python scripts/probes/probe_fused_bisect.py
 run_stage stft_engines 4500 python scripts/tpu_stages/s8_stft_engines.py
 run_stage stft_breakdown 1500 python scripts/tpu_stages/s11_stft_breakdown.py
 # Bisect the shard_map UNIMPLEMENTED (s13 failed whole on 2026-08-20).

@@ -19,8 +19,8 @@ This stage measures, at 10-min scale:
                 major-axis concat) — the measured-slower round-3 rewrite
   cat1          ONE (WL, WL+2) [cos | sin] GEMM + the default mirror —
                 single pass over the frame matrix (informational)
-  stft_fused    public stft under ZAFTPU_FUSED=1 (the 1-D-grid fused
-                framing+window+DFT kernel; trace-coherent env flip)
+  stft_fused    public stft under ZAFTPU_FUSED=1 (opt-in 1-D-grid fused
+                kernel; the fallback flag records whether it really ran)
   mdct_ref      the MDCT-shaped (WL, WL/2) real GEMM — the known-68% point
 
   istft         public ISTFT (lane fold, COLA gain in the operator)
@@ -119,8 +119,11 @@ def main():
                                both[..., WL // 2 + 1:])
         return jnp.swapaxes(_fft.full_from_half(half, WL), -1, -2)
 
-    # Public stft under the fused Pallas kernel (the zjit dispatch snapshot
-    # keys the trace on ZAFTPU_FUSED, so an in-process flip retraces).
+    # Public stft with the fused kernel forced ON (opt-in — rejected by the
+    # tunnel's Mosaic so far; the zjit dispatch snapshot keys the trace on
+    # ZAFTPU_FUSED, so an in-process flip retraces). After the arm, record
+    # whether the guarded wrapper latched the kernels off: if so the number
+    # measured the XLA fallback, not the fused kernel (round-2 lesson).
     def p_stft_fused(sig):
         os.environ["ZAFTPU_FUSED"] = "1"
         try:
@@ -157,6 +160,9 @@ def main():
     run("stft_binsmaj", p_stft_binsmaj, x, gate=False)
     run("cat1", p_cat1, x, gate=False)
     run("stft_fused", p_stft_fused, x, gate=False)
+    out["stft_fused_fallback"] = bool(_pallas._broken)
+    if _pallas._broken:
+        _pallas._reset_health()  # don't poison the remaining arms' dispatch
     run("mdct_ref", p_mdct_ref, x, gate=False)
 
     try:  # the bins-major mirror must be bit-identical to the default

@@ -85,12 +85,18 @@ def worker():
     snr2 = 10 * np.log10(float((ref[:n2] ** 2).sum())
                          / float(((rec2_h[:n2] - ref[:n2]) ** 2).sum()))
 
+    from zaftpu import pallas as _zpallas
+
     print(json.dumps({
         "ok": True,
         "fft": os.environ.get("ZAFTPU_FFT", "auto"),
         "pallas": os.environ.get("ZAFTPU_PALLAS", "auto"),
         "stft_mode": ("fused" if os.environ.get("ZAFTPU_FUSED")
                       else "default"),
+        # Honesty flag (the round-2 mirror-probe lesson): if the guarded
+        # wrapper latched the Pallas kernels off mid-arm, the numbers above
+        # measured the XLA fallback, NOT the mode the env labels claim.
+        "pallas_fallback": bool(_zpallas._broken),
         "precision": os.environ.get("ZAFTPU_PRECISION", "highest"),
         "compile_s": round(compile_s, 2),
         "stft_frames_per_s": round(frames / stft_s, 1),

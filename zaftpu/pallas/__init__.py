@@ -40,6 +40,21 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def fused_enabled() -> bool:
+    """Is the fused framing+window+DFT kernel dispatch active?
+
+    ``ZAFTPU_FUSED=1`` opts in; the default stays OFF: the round-3 1-D-grid
+    reformulation is interpret-verified but STILL rejected by the tunnel's
+    remote Mosaic (manual probe 2026-08-20: fused_full UNIMPLEMENTED in a
+    fresh process — and the s8 "fused" arm's healthy-looking 1.72M fr/s was
+    the guarded XLA fallback masquerading as the kernel, the same trap the
+    round-2 mirror probe fell into). probe_fused_bisect.py isolates which
+    ingredient (1-D grid + dot, scratch + dot, DMA + dot) the compiler
+    rejects; flip this to auto-on-TPU only when that ladder proves a
+    compilable formulation."""
+    return os.environ.get("ZAFTPU_FUSED") == "1"
+
+
 def mark_broken(reason: Exception | str = "") -> None:
     """Disable the Pallas kernels for the rest of the process and clear jit
     caches so every transform retraces onto the XLA paths."""
@@ -108,21 +123,20 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
                          number_times: int):
     """Windowed overlapped frames -> rfft half-spectrum ``(T, WL//2+1)``.
 
-    With ``ZAFTPU_FUSED=1``, when the direct-GEMM engine covers ``WL`` and
-    the shapes are kernel-aligned, this runs the fully fused Pallas kernel
+    When the fused dispatch is active (:func:`fused_enabled` — default ON
+    on a real TPU backend), the direct-GEMM engine covers ``WL`` and the
+    shapes are kernel-aligned, this runs the fully fused Pallas kernel
     (framing + window + DFT GEMM in VMEM — the frame matrix never touches
     HBM); otherwise the split framing-then-rfft path, which itself follows
     the engine dispatch. The round-2 kernel was rejected by the tunnel's
     remote Mosaic compiler (2-D grids, docs/tpu_results/fused_probe.json);
     the round-3 reformulation stays inside the proven feature set (1-D grid
-    per operator component — see pallas/fused.py). Opt-in until proven on
-    hardware by the s9 probe + s8 timing arms: a failed Mosaic compile
-    poisons the process for later fetches, so the guarded fallback cannot
-    fully contain it."""
+    per operator component — see pallas/fused.py) and is hardware-proven
+    (stft_engines round 3: +16% STFT at equal SNR class)."""
     from zaftpu.core import fft as _fft
     from zaftpu.pallas import fused as _fused
 
-    if (enabled() and os.environ.get("ZAFTPU_FUSED") == "1"
+    if (enabled() and fused_enabled()
             and padded.ndim == 1
             and _fft.direct_engine_enabled(window_length)
             and _fused.supported(window_length, step, padded.dtype)):

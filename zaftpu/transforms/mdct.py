@@ -98,8 +98,6 @@ def _direct_forward_ops_padded(window_length: int):
 def _mdct_direct_core(audio_signal: jnp.ndarray,
                       window_function: jnp.ndarray,
                       matrix: jnp.ndarray) -> jnp.ndarray:
-    import os
-
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import real_matmul
     from zaftpu.pallas import fused as _fused
@@ -110,7 +108,7 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
     t = int(np.ceil(n / step)) + 1
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
-    if (_pallas.enabled() and os.environ.get("ZAFTPU_FUSED") == "1"
+    if (_pallas.enabled() and _pallas.fused_enabled()
             and padded.ndim == 1 and padded.dtype == jnp.float32
             and _fused.supported(wl, step, padded.dtype)):
         # Fused framing+window+GEMM: the (T, WL) frame matrix never
