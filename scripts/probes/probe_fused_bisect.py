@@ -83,6 +83,31 @@ out = pl.pallas_call(kern,
                     pltpu.SemaphoreType.DMA])(a, b)
 print(float(jnp.abs(out - a[:128] @ b).max()))
 """,
+    "loop_dma_dot": PRELUDE + """
+# Grid-free alternative: ONE kernel invocation, fori_loop over blocks,
+# manual DMA in (ANY -> VMEM scratch) and out (VMEM -> ANY output).
+def kern(a_ref, b_ref, o_ref, scr, res, sem_in, sem_out):
+    def step(i, carry):
+        cin = pltpu.make_async_copy(a_ref.at[pl.ds(i * 128, 128), :], scr,
+                                    sem_in)
+        cin.start(); cin.wait()
+        res[:, :] = jax.lax.dot_general(scr[:, :], b_ref[:, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        cout = pltpu.make_async_copy(res, o_ref.at[pl.ds(i * 128, 128), :],
+                                     sem_out)
+        cout.start(); cout.wait()
+        return carry
+    jax.lax.fori_loop(0, 2, step, 0)
+out = pl.pallas_call(kern,
+    in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+              pl.BlockSpec(memory_space=pltpu.VMEM)],
+    out_specs=pl.BlockSpec(memory_space=pl.ANY),
+    out_shape=jax.ShapeDtypeStruct((256, 1152), jnp.float32),
+    scratch_shapes=[pltpu.VMEM((128, 2048), jnp.float32),
+                    pltpu.VMEM((128, 1152), jnp.float32),
+                    pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA])(a, b)
+print(float(jnp.abs(out - a @ b).max()))
+""",
     "fused_block": """
 import numpy as np, jax, jax.numpy as jnp
 from zaftpu.pallas import fused
