@@ -1,6 +1,9 @@
 """Bisect which combination of (1-D grid, manual DMA, VMEM scratch, dot)
-the tunnel's Mosaic rejects — the round-3 fused kernel fails on hardware
-while its ingredient kernels each compile:
+the tunnel's Mosaic rejects — the round-3 fused kernel LOOKED
+rejected on hardware while its ingredient kernels each compiled — RESOLVED
+2026-08-20: the kernel was fine all along; the probes fetched the complex64
+result, and complex device->host transfers UNIMPLEMENTED through this
+tunnel. Kept (with plane fetches) as the compile-regression canary ladder:
 
   * framing kernel (1-D grid + pl.ANY + manual DMA + scratch, NO dot): OK
   * dot_min/dot_highest (dot in a kernel, NO grid): OK
@@ -116,9 +119,14 @@ wl, step, t = 2048, 1024, 128  # exactly one grid step
 x = np.random.default_rng(0).standard_normal(t*step + wl).astype(np.float32)
 win = hamming(wl).astype(np.float32)
 out = fused.frames_rfft(jnp.asarray(x), jnp.asarray(win), wl, step, t)
+# Fetch the planes, NEVER the complex array: complex device->host transfers
+# UNIMPLEMENTED through this tunnel regardless of what computed them (the
+# round-3 fused "rejections" were exactly this fetch artifact).
+re, im = np.asarray(jnp.real(out)), np.asarray(jnp.imag(out))
 frames = np.stack([x[i*step:i*step+wl]*win for i in range(t)])
 ref = np.fft.rfft(frames, axis=-1)
-print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
+print(float(max(np.abs(re - ref.real).max(), np.abs(im - ref.imag).max())
+            / np.abs(ref).max()))
 """,
     "fused_full": """
 import numpy as np, jax, jax.numpy as jnp
@@ -128,9 +136,14 @@ wl, step, t = 2048, 1024, 256
 x = np.random.default_rng(0).standard_normal(t*step + wl).astype(np.float32)
 win = hamming(wl).astype(np.float32)
 out = fused.frames_rfft(jnp.asarray(x), jnp.asarray(win), wl, step, t)
+# Fetch the planes, NEVER the complex array: complex device->host transfers
+# UNIMPLEMENTED through this tunnel regardless of what computed them (the
+# round-3 fused "rejections" were exactly this fetch artifact).
+re, im = np.asarray(jnp.real(out)), np.asarray(jnp.imag(out))
 frames = np.stack([x[i*step:i*step+wl]*win for i in range(t)])
 ref = np.fft.rfft(frames, axis=-1)
-print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
+print(float(max(np.abs(re - ref.real).max(), np.abs(im - ref.imag).max())
+            / np.abs(ref).max()))
 """,
 }
 

@@ -15,6 +15,11 @@ de-risks the multi-chip path as far as a single-chip environment physically
 allows; multi-chip layouts stay validated by the CPU mesh gates +
 dryrun_multichip.
 
+The first run failed ALL cases with UNIMPLEMENTED — that was the complex
+device->host FETCH of the stft case's result (tunnel-broken regardless of
+what computed it) poisoning the process for every later fetch, not
+shard_map; fetches now go through :func:`_np` (plane transfers).
+
 Prints ONE JSON line.
 """
 
@@ -38,6 +43,19 @@ def _timed(fn, *args):
     _, stats = timed("s13", fn, *args, reps=3, dispatches=8, target_s=2.0,
                      log=False)
     return stats.seconds
+
+
+def _np(x):
+    """Device->host fetch that never transfers a complex array: complex
+    transfers UNIMPLEMENTED through the axon tunnel in both directions, and
+    one failed fetch poisons the process — the round-3 s13 run failed ALL
+    five cases from exactly this (the stft case's complex fetch died first,
+    then every later fetch inherited the poison)."""
+    import jax.numpy as jnp
+
+    if jnp.iscomplexobj(x):
+        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+    return np.asarray(x)
 
 
 def main():
@@ -77,8 +95,8 @@ def main():
         A failing case fails the stage — every sharded program here must
         compile and run on the chip."""
         try:
-            got = np.asarray(sharded_fn())
-            ref = np.asarray(plain_fn())
+            got = _np(sharded_fn())
+            ref = _np(plain_fn())
             err = float(np.max(np.abs(got - ref)))
             tol = atol_scale * max(1.0, float(np.abs(ref).max()))
             sec_sh = _timed(sharded_fn)

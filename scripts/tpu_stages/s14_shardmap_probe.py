@@ -1,15 +1,12 @@
-"""Stage 14: bisect the shard_map UNIMPLEMENTED failure on the real chip.
+"""Stage 14: shard_map construct ladder on the real chip.
 
-Round 3's s13 (sharded transforms on a 1-device TPU mesh) failed every case
-with ``UNIMPLEMENTED: TPU backend error`` while the fresh-compile probe
-passed immediately before and after — a genuine lowering rejection by the
-tunnel's compiler service, not a wedge. Level-1 verdicts (2026-08-20,
-committed shardmap_probe.json): NamedSharding IO, shard_map identity, psum,
-the masked ppermute ring, and dot-in-shard_map ALL PASS; the real
-``stft_sharded`` fails. On a 1-device mesh the halo helpers emit no
-ppermute at all, so the rejected construct is in the plain transform body
-under shard_map. Level 2 bisects that body (each case its own subprocess —
-a failed compile poisons later fetches in the same process):
+History: round 3's s13 (sharded transforms on a 1-device TPU mesh) failed
+every case with ``UNIMPLEMENTED`` — RESOLVED 2026-08-20: nothing was wrong
+with shard_map at all. The probe fetched the stft case's complex64 result
+(complex device->host transfers UNIMPLEMENTED through this tunnel), and
+that one failed fetch poisoned the process for every later case. With
+plane fetches, stft_sharded runs on the chip at parity. This ladder stays
+as the per-construct compile canary (each case its own subprocess):
 
   jit_io_sharding   jit with NamedSharding on inputs/outputs (no shard_map)
   shmap_identity    shard_map(x * 2) over a 1-device mesh
@@ -178,9 +175,11 @@ mesh = make_mesh(1)
 x = jnp.asarray(np.random.default_rng(0).standard_normal(
     44100).astype(np.float32))
 win = hamming(2048).astype(np.float32)
-got = np.asarray(stft_sharded(x, win, 1024, mesh))
-ref = np.asarray(zaftpu.stft(x, win, 1024))
-err = float(np.max(np.abs(got - ref)))
+got = stft_sharded(x, win, 1024, mesh)
+ref = zaftpu.stft(x, win, 1024)
+# plane fetches: complex device->host transfers UNIMPLEMENTED on this tunnel
+err = float(max(np.abs(np.asarray(jnp.real(got)) - np.asarray(jnp.real(ref))).max(),
+                np.abs(np.asarray(jnp.imag(got)) - np.asarray(jnp.imag(ref))).max()))
 assert err <= 4e-6 * max(1.0, float(np.abs(ref).max())), err
 print("ok", err)
 """,
@@ -193,9 +192,11 @@ mesh = make_mesh(1)
 x = jnp.asarray(np.random.default_rng(0).standard_normal(
     44100).astype(np.float32))
 win = hamming(2048).astype(np.float32)
-got = np.asarray(stft_sharded(x, win, 1024, mesh))
-ref = np.asarray(zaftpu.stft(x, win, 1024))
-err = float(np.max(np.abs(got - ref)))
+got = stft_sharded(x, win, 1024, mesh)
+ref = zaftpu.stft(x, win, 1024)
+# plane fetches: complex device->host transfers UNIMPLEMENTED on this tunnel
+err = float(max(np.abs(np.asarray(jnp.real(got)) - np.asarray(jnp.real(ref))).max(),
+                np.abs(np.asarray(jnp.imag(got)) - np.asarray(jnp.imag(ref))).max()))
 assert err <= 4e-6 * max(1.0, float(np.abs(ref).max())), err
 print("ok", err)
 """,

@@ -15,7 +15,10 @@ device fetches:
                   (the split4 scheme's primitives)
   fused_small   — the real frames_rfft, wl=512 (2.3 MB operator)
   fused_full    — the real frames_rfft, wl=2048 (the production shape)
-  fused_split4  — frames_rfft under ZAFTPU_PRECISION=split4 (in-VMEM 4-pass)
+  fused_split4  — frames_rfft under ZAFTPU_PRECISION=split4 (in-VMEM
+                  4-pass) at PRODUCTION grid length — compiles at t=256
+                  but 500s the remote Mosaic helper at t=25841, which is
+                  why split4 is excluded from the fused auto-dispatch
 
 Prints ONE JSON line. If fused_full passes, flip the ZAFTPU_FUSED default.
 """
@@ -109,9 +112,14 @@ wl, step, t = 512, 256, 64
 x = np.random.default_rng(0).standard_normal(t*step + wl).astype(np.float32)
 win = hamming(wl).astype(np.float32)
 out = fused.frames_rfft(jnp.asarray(x), jnp.asarray(win), wl, step, t)
+# Fetch the planes, NEVER the complex array: complex device->host transfers
+# UNIMPLEMENTED through this tunnel regardless of what computed them (the
+# round-3 fused "rejections" were exactly this fetch artifact).
+re, im = np.asarray(jnp.real(out)), np.asarray(jnp.imag(out))
 frames = np.stack([x[i*step:i*step+wl]*win for i in range(t)])
 ref = np.fft.rfft(frames, axis=-1)
-print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
+print(float(max(np.abs(re - ref.real).max(), np.abs(im - ref.imag).max())
+            / np.abs(ref).max()))
 """,
     "fused_full": """
 import numpy as np, jax, jax.numpy as jnp
@@ -121,9 +129,14 @@ wl, step, t = 2048, 1024, 256
 x = np.random.default_rng(0).standard_normal(t*step + wl).astype(np.float32)
 win = hamming(wl).astype(np.float32)
 out = fused.frames_rfft(jnp.asarray(x), jnp.asarray(win), wl, step, t)
+# Fetch the planes, NEVER the complex array: complex device->host transfers
+# UNIMPLEMENTED through this tunnel regardless of what computed them (the
+# round-3 fused "rejections" were exactly this fetch artifact).
+re, im = np.asarray(jnp.real(out)), np.asarray(jnp.imag(out))
 frames = np.stack([x[i*step:i*step+wl]*win for i in range(t)])
 ref = np.fft.rfft(frames, axis=-1)
-print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
+print(float(max(np.abs(re - ref.real).max(), np.abs(im - ref.imag).max())
+            / np.abs(ref).max()))
 """,
     "fused_split4": """
 import os
@@ -131,13 +144,20 @@ os.environ["ZAFTPU_PRECISION"] = "split4"
 import numpy as np, jax, jax.numpy as jnp
 from zaftpu.pallas import fused
 from zaftpu.core.windows import hamming
-wl, step, t = 2048, 1024, 256
+# PRODUCTION grid length: the 4-pass kernel compiles at t=256 but the
+# remote Mosaic helper 500s at t=25841 (2026-08-20) — probe the real shape.
+wl, step, t = 2048, 1024, 25841
 x = np.random.default_rng(0).standard_normal(t*step + wl).astype(np.float32)
 win = hamming(wl).astype(np.float32)
 out = fused.frames_rfft(jnp.asarray(x), jnp.asarray(win), wl, step, t)
+# Fetch the planes, NEVER the complex array: complex device->host transfers
+# UNIMPLEMENTED through this tunnel regardless of what computed them (the
+# round-3 fused "rejections" were exactly this fetch artifact).
+re, im = np.asarray(jnp.real(out)), np.asarray(jnp.imag(out))
 frames = np.stack([x[i*step:i*step+wl]*win for i in range(t)])
 ref = np.fft.rfft(frames, axis=-1)
-print(float(np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()))
+print(float(max(np.abs(re - ref.real).max(), np.abs(im - ref.imag).max())
+            / np.abs(ref).max()))
 """,
 }
 

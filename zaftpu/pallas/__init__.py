@@ -43,16 +43,25 @@ def enabled() -> bool:
 def fused_enabled() -> bool:
     """Is the fused framing+window+DFT kernel dispatch active?
 
-    ``ZAFTPU_FUSED=1`` opts in; the default stays OFF: the round-3 1-D-grid
-    reformulation is interpret-verified but STILL rejected by the tunnel's
-    remote Mosaic (manual probe 2026-08-20: fused_full UNIMPLEMENTED in a
-    fresh process — and the s8 "fused" arm's healthy-looking 1.72M fr/s was
-    the guarded XLA fallback masquerading as the kernel, the same trap the
-    round-2 mirror probe fell into). probe_fused_bisect.py isolates which
-    ingredient (1-D grid + dot, scratch + dot, DMA + dot) the compiler
-    rejects; flip this to auto-on-TPU only when that ladder proves a
-    compilable formulation."""
-    return os.environ.get("ZAFTPU_FUSED") == "1"
+    ``ZAFTPU_FUSED``: ``auto`` (default — on when running on a real TPU
+    backend) / ``1`` (force, e.g. interpret-mode testing off-TPU) / ``0``
+    (disable, the A/B lever). Hardware-proven 2026-08-20: the 1-D-grid
+    reformulation compiles under the tunnel's Mosaic and runs at full
+    accuracy in both precision modes (HIGHEST relerr 3.5e-7, in-kernel
+    split4 2.9e-6). Every earlier "rejection" of this kernel was the
+    complex-FETCH tunnel bug — the probes fetched the complex64 result
+    with np.asarray, which UNIMPLEMENTEDs on this tunnel regardless of
+    what computed it; plane fetches prove the kernel fine.
+
+    Auto stays TPU-backend-only — NOT merely ``enabled()`` — so CPU test
+    runs that force ``ZAFTPU_PALLAS=1`` for the framing/OLA kernels don't
+    route into a non-interpret ``pallas_call`` the CPU backend rejects."""
+    env = os.environ.get("ZAFTPU_FUSED", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def mark_broken(reason: Exception | str = "") -> None:
@@ -134,9 +143,16 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     per operator component — see pallas/fused.py) and is hardware-proven
     (stft_engines round 3: +16% STFT at equal SNR class)."""
     from zaftpu.core import fft as _fft
+    from zaftpu.core.policy import split4_enabled
     from zaftpu.pallas import fused as _fused
 
-    if (enabled() and fused_enabled()
+    # split4 is excluded from auto-dispatch: the in-VMEM 4-pass kernel
+    # compiles and is accurate at small scale (relerr 2.9e-6) but the
+    # remote Mosaic helper 500s on it at production grid lengths
+    # (2026-08-20, t=25841), and the resulting guarded latch would cost
+    # the process ALL Pallas kernels. The split4 XLA path is the
+    # measured wash anyway (2.079M vs 2.085M fr/s, 10-min STFT).
+    if (enabled() and fused_enabled() and not split4_enabled()
             and padded.ndim == 1
             and _fft.direct_engine_enabled(window_length)
             and _fused.supported(window_length, step, padded.dtype)):

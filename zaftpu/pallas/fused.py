@@ -113,17 +113,34 @@ def _kernel(k: int, block: int, precision, sig_ref, win_ref, op_ref,
         precision=precision, preferred_element_type=jnp.float32)
 
 
-def _kernel_split4(k: int, block: int, sig_ref, win_ref, op_ref,
-                   out_ref, seg, frames, sem):
+def _kernel_split4(k: int, block: int, use_reduce_precision: bool, sig_ref,
+                   win_ref, op_ref, out_ref, seg, frames, sem):
     """4-pass bf16-split dot (policy._split4_matmul in VMEM): operator
-    arrives host-presplit bf16 (hi, lo); frames split via reduce_precision
-    (a plain cast round trip is elided by XLA's excess-precision rule and
-    collapses the scheme to one bf16 pass — policy.py:155)."""
+    arrives host-presplit bf16 (hi, lo); frames split in-kernel.
+
+    The split primitive differs by execution mode — the two are
+    semantically identical (bf16 cast is RN-even, exactly
+    ``reduce_precision(8, 7)``), but each mode only supports one of them:
+
+    * Mosaic (real TPU): an explicit bf16 cast round trip.
+      ``reduce_precision`` has NO Pallas TPU lowering
+      (NotImplementedError, measured 2026-08-20), while the XLA
+      excess-precision elision that forbids the cast round trip on the
+      XLA path (policy.py:155) does not apply inside a Mosaic kernel —
+      hardware-measured relerr 2.9e-6 (a collapse to one bf16 pass would
+      read ~2.5e-3).
+    * interpret mode (CPU tests): ``reduce_precision`` — the kernel body
+      runs as XLA ops there, so the cast round trip WOULD be elided.
+    """
     _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
     fr = frames[:, :]
-    fr_hi = jax.lax.reduce_precision(fr, exponent_bits=8, mantissa_bits=7)
-    ah = fr_hi.astype(jnp.bfloat16)
-    al = (fr - fr_hi).astype(jnp.bfloat16)
+    if use_reduce_precision:
+        hi = jax.lax.reduce_precision(fr, exponent_bits=8, mantissa_bits=7)
+        ah = hi.astype(jnp.bfloat16)
+        al = (fr - hi).astype(jnp.bfloat16)
+    else:
+        ah = fr.astype(jnp.bfloat16)
+        al = (fr - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     bh, bl = op_ref[0], op_ref[1]
 
     def mm(x, y):
@@ -163,7 +180,7 @@ def frames_matmul(padded, window, ops, window_length: int, step: int,
     n_comp, f_pad = ops.shape[0], ops.shape[-1]
 
     if split4:
-        kern = functools.partial(_kernel_split4, k, block)
+        kern = functools.partial(_kernel_split4, k, block, interpret)
         op_block = pl.BlockSpec((2, window_length, f_pad), lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:

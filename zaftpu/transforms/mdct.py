@@ -108,7 +108,11 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
     t = int(np.ceil(n / step)) + 1
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
-    if (_pallas.enabled() and _pallas.fused_enabled()
+    from zaftpu.core.policy import split4_enabled
+
+    # split4 excluded from auto-dispatch — the 4-pass kernel 500s the
+    # remote Mosaic at production grid lengths (see windowed_frames_rfft).
+    if (_pallas.enabled() and _pallas.fused_enabled() and not split4_enabled()
             and padded.ndim == 1 and padded.dtype == jnp.float32
             and _fused.supported(wl, step, padded.dtype)):
         # Fused framing+window+GEMM: the (T, WL) frame matrix never
