@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from zaftpu.core.dispatch import zjit
+from zaftpu.pallas import guarded as _pallas_guarded
 from zaftpu.core import fft as _fft
 from zaftpu.core import frame as _frame
 from zaftpu.features.mel import _as_dense, _LOG_EPS, dct_ii_ortho_matrix
@@ -106,12 +107,35 @@ def _prepad_tail(x, target_len: int):
     return _pad_last(x, 0, target_len - n)
 
 
-def _sharded_analysis(body, window_length: int, step: int, frame_fn, mesh,
-                      axis_name: str):
-    """shard_map skeleton: pull halo right -> local framing -> frame_fn.
+def _mesh_on_tpu(mesh) -> bool:
+    """Kernel dispatch inside ``shard_map`` must key on the MESH devices'
+    platform, not ``jax.default_backend()``: under the axon plugin the
+    default backend stays "tpu" even when the mesh is built from virtual
+    CPU devices (JAX_PLATFORMS=cpu is ignored), and tracing a Pallas TPU
+    kernel into a CPU-mesh program is wrong on both counts. The check is
+    trace-time-safe — the mesh is a static zjit argument."""
+    return mesh.devices.flat[0].platform == "tpu"
 
-    ``body``: ``(..., t_pad*step)`` zero-extended padded signal. Returns
-    ``frame_fn(frames)`` per local frame block, sharded on the frame axis.
+
+def _sharded_analysis(body, window_length: int, step: int, block_fn, mesh,
+                      axis_name: str):
+    """shard_map skeleton: pull halo right -> ``block_fn(extended, t_local)``.
+
+    ``body``: ``(..., t_pad*step)`` zero-extended padded signal. Each local
+    block receives the halo-extended signal and its local frame count, so
+    the family bodies can run the SAME framing dispatch as their
+    single-device twins (``zaftpu.pallas.windowed_frames[_rfft]`` /
+    the fused framing+GEMM kernel) instead of a raw XLA gather — the
+    round-3 s13 hardware run measured the gather formulation at 0.37-0.68x
+    the single-device throughput on a 1-device mesh
+    (docs/tpu_results/sharded_tpu.json). On non-TPU meshes the bodies run
+    the former extract_frames+window program unchanged, keeping the
+    sharded==single-device bit-identity gates intact.
+
+    ``check_vma=False``: ``pallas_call`` out-shapes carry no varying-mesh-
+    axes annotation, which the vma checker rejects outright; the in/out
+    specs here are explicit and the bodies are per-device programs, so the
+    legacy (unchecked) behavior is the intended semantics.
     """
     overlap = window_length - step
     batch = _batch_spec(mesh, body.ndim - 1)
@@ -119,12 +143,11 @@ def _sharded_analysis(body, window_length: int, step: int, frame_fn, mesh,
     def local(block):
         extended = _halo.pull_from_right(block, overlap, axis_name)
         t_local = block.shape[-1] // step
-        frames = _frame.extract_frames(extended, window_length, step, t_local)
-        return frame_fn(frames)
+        return block_fn(extended, t_local)
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=P(*batch, axis_name),
-        out_specs=P(*batch, axis_name, None))(body)
+        out_specs=P(*batch, axis_name, None), check_vma=False)(body)
 
 
 def _sharded_synthesis(frames, window_length: int, step: int, mesh,
@@ -139,7 +162,15 @@ def _sharded_synthesis(frames, window_length: int, step: int, mesh,
     batch = _batch_spec(mesh, frames.ndim - 2)
 
     def local(block_frames):
-        ola = _frame.overlap_add(block_frames, step)
+        # Same dispatch as the single-device synthesis back end: the Pallas
+        # one-write-pass OLA kernel when eligible (TPU mesh), else the XLA
+        # K-view sum (bit-identical — it IS the former program).
+        if _mesh_on_tpu(mesh):
+            from zaftpu import pallas as _pallas
+
+            ola = _pallas.overlap_add(block_frames, step)
+        else:
+            ola = _frame.overlap_add(block_frames, step)
         split = block_frames.shape[-2] * step
         body_part = _halo.push_right_sum(ola[..., :split], ola[..., split:],
                                          axis_name)
@@ -147,7 +178,7 @@ def _sharded_synthesis(frames, window_length: int, step: int, mesh,
 
     return jax.shard_map(
         local, mesh=mesh, in_specs=P(*batch, axis_name, None),
-        out_specs=P(*batch, axis_name))(frames)
+        out_specs=P(*batch, axis_name), check_vma=False)(frames)
 
 
 # ---------------------------------------------------------------------------
@@ -168,10 +199,17 @@ def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
     body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
     wl = window_function.shape[0]
 
-    def frame_fn(frames):
+    def block_fn(extended, t_local):
+        if _mesh_on_tpu(mesh):
+            from zaftpu import pallas as _pallas
+
+            return _pallas.windowed_frames_rfft(extended, window_function,
+                                                wl, step_length, t_local)
+        frames = _frame.extract_frames(extended, wl, step_length, t_local)
         return _fft.rfft(frames * window_function.astype(frames.dtype))
 
-    return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
+    return _sharded_analysis(body, wl, step_length, block_fn, mesh,
+                             axis_name)
 
 
 @partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
@@ -191,6 +229,7 @@ def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
     return jnp.swapaxes(full, -1, -2)
 
 
+@_pallas_guarded
 def stft_sharded(audio_signal, window_function, step_length: int, mesh,
                  axis_name: str = FRAME_AXIS):
     """Frame-block-sharded STFT; values identical to :func:`zaftpu.stft`.
@@ -215,6 +254,7 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     return out[..., :t]
 
 
+@_pallas_guarded
 def spectrogram_sharded(audio_signal, window_function, step_length: int,
                         mesh, axis_name: str = FRAME_AXIS):
     """Sharded magnitude spectrogram over bins ``1..WL/2`` (``(WL/2, T)``)."""
@@ -239,13 +279,22 @@ def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, gain):
     the front trim — the wrapper slices the true length eagerly."""
     wl = audio_stft.shape[-2]
     frames_major = jnp.swapaxes(audio_stft, -1, -2)
+    if _fft.direct_engine_enabled(wl):
+        # Engine path: fold the COLA gain into the inverse operator columns
+        # (same as the single-device synthesis_ola) — kills the post-OLA
+        # elementwise pass over the output signal.
+        frames = _fft.direct_real_ifft(frames_major, scale=1.0 / gain)
+        body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
+        # Reference trim [wl-step : T*step) of the pre-trim signal
+        # (zaf.py:236).
+        return body[..., wl - step_length:]
     frames = _fft.real_ifft(frames_major)
     body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
-    # Reference trim [wl-step : T*step) of the pre-trim signal (zaf.py:236).
     out = body[..., wl - step_length:]
     return out / jnp.asarray(gain, dtype=out.dtype)
 
 
+@_pallas_guarded
 def istft_sharded(audio_stft, window_function, step_length: int, mesh,
                   axis_name: str = FRAME_AXIS):
     """Frame-block-sharded inverse STFT with boundary-sum halo exchange.
@@ -299,16 +348,26 @@ def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
     body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
     wl = window_function.shape[0]
 
-    def frame_fn(frames):
-        half = _fft.rfft(frames * window_function.astype(frames.dtype))
+    def block_fn(extended, t_local):
+        if _mesh_on_tpu(mesh):
+            from zaftpu import pallas as _pallas
+
+            half = _pallas.windowed_frames_rfft(extended, window_function,
+                                                wl, step_length, t_local)
+        else:
+            frames = _frame.extract_frames(extended, wl, step_length,
+                                           t_local)
+            half = _fft.rfft(frames * window_function.astype(frames.dtype))
         mag = jnp.abs(half[..., 1:])
         if power:
             mag = mag * mag
         return _policy.mxu_matmul(mag, fbank_t)
 
-    return _sharded_analysis(body, wl, step_length, frame_fn, mesh, axis_name)
+    return _sharded_analysis(body, wl, step_length, block_fn, mesh,
+                             axis_name)
 
 
+@_pallas_guarded
 def melspectrogram_sharded(audio_signal, window_function, step_length: int,
                            mel_filterbank, mesh,
                            axis_name: str = FRAME_AXIS):
@@ -337,6 +396,7 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     return out[..., :t]
 
 
+@_pallas_guarded
 def mfcc_sharded(audio_signal, window_function, step_length: int,
                  mel_filterbank, number_coefficients: int, mesh,
                  axis_name: str = FRAME_AXIS):
@@ -387,11 +447,31 @@ def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
     n = audio_signal.shape[-1]
     body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
 
-    def frame_fn(frames):
-        frames = frames * window_function.astype(frames.dtype)
+    def block_fn(extended, t_local):
+        if not _mesh_on_tpu(mesh):
+            frames = _frame.extract_frames(extended, wl, step, t_local)
+            frames = frames * window_function.astype(frames.dtype)
+            return _policy.real_matmul(frames, matrix.astype(frames.dtype))
+        from zaftpu import pallas as _pallas
+        from zaftpu.core.policy import split4_enabled
+        from zaftpu.pallas import fused as _fused
+        from zaftpu.transforms.mdct import _direct_forward_ops_padded
+
+        # Same dispatch ladder as the single-device _mdct_direct_core:
+        # fused framing+window+GEMM kernel when eligible (the frame matrix
+        # never touches HBM), else Pallas/XLA framing + the folded GEMM.
+        if (_pallas.enabled() and _pallas.fused_enabled()
+                and not split4_enabled() and extended.ndim == 1
+                and extended.dtype == jnp.float32
+                and _fused.supported(wl, step, extended.dtype)):
+            return _fused.frames_op(extended, window_function,
+                                    _direct_forward_ops_padded, step,
+                                    wl, step, t_local)
+        frames = _pallas.windowed_frames(extended, window_function, wl,
+                                         step, t_local)
         return _policy.real_matmul(frames, matrix.astype(frames.dtype))
 
-    coeffs = _sharded_analysis(body, wl, step, frame_fn, mesh, axis_name)
+    coeffs = _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
     return jnp.swapaxes(coeffs, -1, -2)
 
 
@@ -403,15 +483,23 @@ def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
     n = audio_signal.shape[-1]
     body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
 
-    def frame_fn(frames):
-        frames = frames * window_function.astype(frames.dtype)
+    def block_fn(extended, t_local):
+        if _mesh_on_tpu(mesh):
+            from zaftpu import pallas as _pallas
+
+            frames = _pallas.windowed_frames(extended, window_function, wl,
+                                             step, t_local)
+        else:
+            frames = _frame.extract_frames(extended, wl, step, t_local)
+            frames = frames * window_function.astype(frames.dtype)
         spectra = _fft.fft(
             frames * pre.astype(jnp.result_type(frames, pre)))
         return jnp.real(spectra[..., :step] * post)
 
-    return _sharded_analysis(body, wl, step, frame_fn, mesh, axis_name)
+    return _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
 
 
+@_pallas_guarded
 def mdct_sharded(audio_signal, window_function, mesh,
                  axis_name: str = FRAME_AXIS):
     """Frame-block-sharded MDCT ``(WL/2, number_times)``; values identical
@@ -484,6 +572,7 @@ def _imdct_core_sharded_direct_unfused(audio_mdct, window_function, matrix,
     return body[..., f:]
 
 
+@_pallas_guarded
 def imdct_sharded(audio_mdct, window_function, mesh,
                   axis_name: str = FRAME_AXIS):
     """Frame-block-sharded inverse MDCT with TDAC boundary-sum exchange;
@@ -562,6 +651,7 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
     return spec
 
 
+@_pallas_guarded
 def cqtspectrogram_sharded(audio_signal, sampling_frequency, time_resolution,
                            cqt_kernel, mesh, axis_name: str = FRAME_AXIS):
     """Frame-block-sharded CQT spectrogram (fused time-domain matmul path,
@@ -631,6 +721,7 @@ def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
     return jnp.swapaxes(out, -1, -2)
 
 
+@_pallas_guarded
 def cqtspectrogram_tp(audio_signal, sampling_frequency, time_resolution,
                       cqt_kernel, mesh, axis_name: str = FRAME_AXIS):
     """Tensor-parallel CQT spectrogram: the *frequency axis* of the fused
@@ -677,6 +768,7 @@ def cqtspectrogram_tp(audio_signal, sampling_frequency, time_resolution,
     return out[..., :n_freq, :t]
 
 
+@_pallas_guarded
 def cqtchromagram_sharded(audio_signal, sampling_frequency, time_resolution,
                           octave_resolution, cqt_kernel, mesh,
                           axis_name: str = FRAME_AXIS):
