@@ -192,6 +192,10 @@ def main():
     run("ola", jax.jit(lambda fr: _pallas.overlap_add(fr, STEP)),
         frames_f32, (b_f32 + (t * STEP + WL - STEP) * 4) * GB)
 
+    # Fallback honesty (CLAUDE.md): the 'ola' arm dispatches the Pallas
+    # kernel on TPU; record whether a failure latched it off mid-probe.
+    out["pallas_fallback"] = bool(_pallas._broken)
+
     # Summary ratios: how close are the relayout passes to the copy ceiling?
     for a, b, name in (("mirror_transpose", "copy_c64", "mirror_vs_copy"),
                        ("transpose_c64", "copy_c64", "transpose_vs_copy"),
