@@ -347,61 +347,74 @@ def _supervise():
     # must stop launching rungs and print the best-so-far, or a kill
     # mid-ladder discards every completed measurement.
     deadline = time.monotonic() + int(os.environ.get("BENCH_DEADLINE", "1350"))
+    # Rung order is reliability-first (round-3 lesson: the official artifact
+    # fell back to CPU because the *first* rung ate its whole budget inside a
+    # wedge window). The default-dispatch rung compiles the fewest/most-cached
+    # programs, so it runs first to bank a TPU number early; the split4 rung
+    # (the round-3 winner at 2.15M frames/s) follows with a trimmed budget.
     ladder = [
-        # Fastest gate-passing rung first: the 4-pass bf16-split GEMM
-        # (ZAFTPU_PRECISION=split4) measures 1.90M STFT / 8.12M MDCT
-        # frames/s at 108 dB — above the 96 dB floor that disqualifies the
-        # 3-pass HIGH scheme (docs/tpu_results/stft_engines.json).
-        ("TPU (split4 GEMM)", {"ZAFTPU_PRECISION": "split4"}, budget),
         # Default dispatch: ZAFTPU_FFT=auto selects the matmul engine
         # on TPU (docs/tpu_results/stft_engines.json), Pallas framing on.
         ("TPU", {}, budget),
+        # 4-pass bf16-split GEMM (ZAFTPU_PRECISION=split4): 108 dB round
+        # trip — above the 96 dB floor that disqualifies the 3-pass HIGH
+        # scheme (docs/tpu_results/stft_engines.json).
+        ("TPU (split4 GEMM)", {"ZAFTPU_PRECISION": "split4"},
+         min(budget, 300)),
         ("TPU (no Pallas)", {"ZAFTPU_PALLAS": "0"}, budget),
         # (The former ZAFTPU_STFT=conv rung was removed with the lever: it
         # failed on this hardware at 10-min segment scale — see
-        # docs/perf.md history.)
+        # docs/perf.md history. The 3-pass ZAFTPU_PRECISION=high rung is
+        # deliberately absent: its round trip measures 94.9 dB on hardware —
+        # below this benchmark's own 96 dB accuracy floor.)
         ("TPU (native FFT)",
          {"ZAFTPU_PALLAS": "0", "ZAFTPU_FFT": "native"}, budget),
-        # (The 3-pass ZAFTPU_PRECISION=high rung is deliberately absent: its
-        # round trip measures 94.9 dB on hardware — below this benchmark's
-        # own 96 dB accuracy floor, so it can never be the reported rung.
-        # The A/B numbers live in docs/tpu_results/stft_engines.json.)
     ]
-    # Transient wedges sometimes clear within minutes: spend a bounded
-    # slice of the deadline waiting for the tunnel before writing off the
-    # TPU rungs (a round-end artifact with a CPU fallback is much worse
-    # than 4 minutes of probing).
-    wait_budget = min(240.0, max(0.0, deadline - time.monotonic() - 900))
-    wait_end = time.monotonic() + wait_budget
-    while not _probe_tpu({}) and time.monotonic() < wait_end:
-        log("tunnel not answering — retrying probe in 60 s")
-        time.sleep(60)
+    # Reserve a slice of the deadline for the CPU fallback while no TPU rung
+    # has landed (round 3: the ladder consumed the window and the CPU rung
+    # barely fit). Once a TPU result exists the reserve drops to zero.
+    cpu_reserve = 420
 
     results = []
-    tpu_dead = False
-    for label, extra, timeout_s in ladder:
-        if tpu_dead:
-            continue
+    queue = [(label, extra, t, 0) for label, extra, t in ladder]
+    while queue:
+        label, extra, timeout_s, tries = queue.pop(0)
         remaining = deadline - time.monotonic()
         if results and remaining < timeout_s * 0.5:
             log(f"deadline approaching ({remaining:.0f}s left) — "
                 f"reporting best of {len(results)} completed rungs")
             break
-        if remaining < 240:
-            # Even with no result yet, a probe (120 s) + minimum rung
-            # (120 s) cannot finish — launching one just gets killed by the
-            # caller's outer timeout mid-rung.
-            log(f"deadline too close ({remaining:.0f}s) to start a rung")
+        if remaining < (240 if results else 240 + cpu_reserve):
+            # A probe (120 s) + minimum rung (120 s) cannot finish — and
+            # with no result yet the CPU fallback still needs its slot.
+            log(f"deadline too close ({remaining:.0f}s) to start {label}")
             break
-        timeout_s = max(120, min(timeout_s, int(remaining)))
+        timeout_s = max(120, min(timeout_s, int(remaining - (
+            0 if results else cpu_reserve))))
         if not _probe_tpu(extra):
-            log(f"skipping remaining TPU rungs (probe failed before {label})")
-            tpu_dead = True
+            # Wedge windows are transient: skip THIS rung only and requeue
+            # it once at the tail — the next rung's probe (plus the sleep)
+            # spreads retries across the whole bench window instead of
+            # writing off every TPU rung on one bad probe (round-3 failure
+            # mode).
+            if tries == 0:
+                log(f"probe failed before {label} — requeueing once")
+                queue.append((label, extra, timeout_s, 1))
+            else:
+                log(f"probe failed again before {label} — dropping rung")
+            if not results:
+                time.sleep(30)
             continue
         r = _run_rung(label, extra, timeout_s)
         if r is not None:
             log(f"{label}: {r['value']:,.0f} {r['unit']}")
             results.append(r)
+        elif tries == 0:
+            # One fresh-process retry per rung: transient remote-compile
+            # failures usually clear, and server-side compile caches make
+            # the retry much cheaper than the first attempt.
+            log(f"{label} failed — requeueing for one retry")
+            queue.append((label, extra, timeout_s, 1))
     if not results and os.environ.get("BENCH_REQUIRE_TPU") != "1":
         # Watcher sessions only want genuine TPU numbers — a CPU fallback
         # result would be persisted and stop future retries.

@@ -7,6 +7,9 @@ hops cross processes exactly as they would cross hosts on a pod slice. Each
 process checks its addressable shards against the single-device reference.
 
 Run: ``python scripts/multihost_sim.py`` (spawns the workers itself).
+``MULTIHOST_PORT`` overrides the coordinator port (default 9911) so
+concurrent runs — e.g. the pytest wrapper in tests/test_multihost.py —
+don't collide.
 """
 
 import os
@@ -14,6 +17,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = int(os.environ.get("MULTIHOST_PORT", "9911"))
 
 
 def worker(process_id: int) -> None:
@@ -24,7 +28,7 @@ def worker(process_id: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.distributed.initialize(coordinator_address="127.0.0.1:9911",
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
                                num_processes=2, process_id=process_id)
     import numpy as np
 

@@ -86,3 +86,30 @@ def test_cqtchromshow_ticks(zaf, golden):
     ref = _ticks(zaf.cqtchromshow, chroma, 25, 1)
     np.testing.assert_array_equal(ours[0], ref[0])
     assert ours[2] == ref[2]
+
+
+def test_amplitude_to_db_strict_parity():
+    """floor=None reproduces the reference's unclamped 20*log10
+    (zaf.py:1303): silent bins are exactly -inf, nonzero bins exact."""
+    from zaftpu.viz.display import amplitude_to_db
+
+    mag = np.array([[0.0, 1.0], [0.5, 2.0]])
+    with np.errstate(divide="ignore"):
+        strict = amplitude_to_db(mag, None)
+        ref = 20.0 * np.log10(mag)
+    np.testing.assert_array_equal(strict, ref)
+    assert strict[0, 0] == -np.inf
+    # Default keeps the documented floor: finite everywhere, identical
+    # above the floor.
+    floored = amplitude_to_db(mag)
+    assert np.isfinite(floored).all()
+    np.testing.assert_array_equal(floored[mag > 0], ref[mag > 0])
+
+
+def test_specshow_floor_none(golden, signal):
+    """The floor=None escape hatch flows through the display helpers."""
+    spec = np.abs(golden["stft"][1:1025]).copy()
+    spec[0, 0] = 0.0
+    with np.errstate(divide="ignore"):
+        _ticks(zaftpu.specshow, spec, len(signal), 44100, 1, 1000,
+               floor=None)

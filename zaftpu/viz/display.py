@@ -1,10 +1,12 @@
 """Display helpers (host-side, matplotlib) mirroring reference zaf.py:1222-1484.
 
 Same axes/tick semantics as the reference's six ``*show``/``sigplot``
-functions. One deliberate difference: dB conversions clamp at a floor
-(``amin``) before ``20*log10`` — the reference applies no floor
+functions. One deliberate default difference: dB conversions clamp at a
+floor (``amin``) before ``20*log10`` — the reference applies no floor
 (zaf.py:1303,1360,1445) so silent bins produce ``-inf`` and a matplotlib
-warning; values above the floor are identical.
+warning; values above the floor are identical. Pass ``floor=None`` to any
+dB display (or ``amin=None`` to :func:`amplitude_to_db`) for strict
+reference parity including the ``-inf`` bins.
 
 matplotlib is imported lazily so headless/compute-only deployments never pay
 for (or require) it.
@@ -28,9 +30,16 @@ def _plt():
     return plt
 
 
-def amplitude_to_db(magnitude, amin: float = _DB_FLOOR_AMIN) -> np.ndarray:
-    """``20*log10(max(|x|, amin))`` — reference zaf.py:1303 with a floor."""
-    return 20.0 * np.log10(np.maximum(np.asarray(magnitude), amin))
+def amplitude_to_db(magnitude, amin=_DB_FLOOR_AMIN) -> np.ndarray:
+    """``20*log10(max(|x|, amin))`` — reference zaf.py:1303 with a floor.
+
+    ``amin=None`` disables the floor for strict reference parity: zero bins
+    produce ``-inf`` exactly as ``zaf.py:1303,1360,1445`` do (NumPy emits
+    the same divide-by-zero RuntimeWarning the reference triggers)."""
+    magnitude = np.asarray(magnitude)
+    if amin is not None:
+        magnitude = np.maximum(magnitude, amin)
+    return 20.0 * np.log10(magnitude)
 
 
 def sigplot(audio_signal, sampling_frequency, xtick_step=1):
@@ -57,8 +66,11 @@ def _time_ticks(number_times, time_resolution, xtick_step):
 
 
 def specshow(audio_spectrogram, number_samples, sampling_frequency,
-             xtick_step=1, ytick_step=1000):
-    """Spectrogram in dB/seconds/Hz (reference zaf.py:1256-1308)."""
+             xtick_step=1, ytick_step=1000, floor=_DB_FLOOR_AMIN):
+    """Spectrogram in dB/seconds/Hz (reference zaf.py:1256-1308).
+
+    ``floor=None`` reproduces the reference's unclamped ``20*log10``
+    (zaf.py:1303): silent bins map to ``-inf``."""
     plt = _plt()
     audio_spectrogram = np.asarray(audio_spectrogram)
     number_frequencies, number_times = audio_spectrogram.shape
@@ -70,8 +82,8 @@ def specshow(audio_spectrogram, number_samples, sampling_frequency,
                       ytick_step * frequency_resolution)
     ylabels = np.arange(ytick_step, sampling_frequency / 2,
                         ytick_step).astype(int)
-    plt.imshow(amplitude_to_db(audio_spectrogram), aspect="auto", cmap="jet",
-               origin="lower")
+    plt.imshow(amplitude_to_db(audio_spectrogram, floor), aspect="auto",
+               cmap="jet", origin="lower")
     plt.xticks(ticks=xlocs, labels=xlabels)
     plt.yticks(ticks=ylocs, labels=ylabels)
     plt.xlabel("Time (s)")
@@ -79,8 +91,11 @@ def specshow(audio_spectrogram, number_samples, sampling_frequency,
 
 
 def melspecshow(mel_spectrogram, number_samples, sampling_frequency,
-                window_length, xtick_step=1):
-    """Mel spectrogram in dB with mel->Hz y-ticks (reference zaf.py:1311-1365)."""
+                window_length, xtick_step=1, floor=_DB_FLOOR_AMIN):
+    """Mel spectrogram in dB with mel->Hz y-ticks (reference zaf.py:1311-1365).
+
+    ``floor=None`` reproduces the reference's unclamped ``20*log10``
+    (zaf.py:1360)."""
     plt = _plt()
     from zaftpu.features.mel import hertz_to_mel, mel_to_hertz
     mel_spectrogram = np.asarray(mel_spectrogram)
@@ -91,8 +106,8 @@ def melspecshow(mel_spectrogram, number_samples, sampling_frequency,
                             hertz_to_mel(sampling_frequency / 2), number_mels)
     hertz_scale = mel_to_hertz(mel_scale)
     xlocs, xlabels = _time_ticks(number_times, time_resolution, xtick_step)
-    plt.imshow(amplitude_to_db(mel_spectrogram), aspect="auto", cmap="jet",
-               origin="lower")
+    plt.imshow(amplitude_to_db(mel_spectrogram, floor), aspect="auto",
+               cmap="jet", origin="lower")
     plt.xticks(ticks=xlocs, labels=xlabels)
     plt.yticks(ticks=np.arange(0, number_mels, 8),
                labels=hertz_scale[::8].astype(int))
@@ -114,16 +129,19 @@ def mfccshow(audio_mfcc, number_samples, sampling_frequency, xtick_step=1):
 
 
 def cqtspecshow(cqt_spectrogram, time_resolution, octave_resolution,
-                minimum_frequency, xtick_step=1):
-    """CQT spectrogram in dB with log-Hz y-ticks (reference zaf.py:1406-1450)."""
+                minimum_frequency, xtick_step=1, floor=_DB_FLOOR_AMIN):
+    """CQT spectrogram in dB with log-Hz y-ticks (reference zaf.py:1406-1450).
+
+    ``floor=None`` reproduces the reference's unclamped ``20*log10``
+    (zaf.py:1445)."""
     plt = _plt()
     cqt_spectrogram = np.asarray(cqt_spectrogram)
     number_frequencies, number_times = cqt_spectrogram.shape
     xlocs, xlabels = _time_ticks(number_times, time_resolution, xtick_step)
     ylocs = np.arange(0, number_frequencies, octave_resolution)
     ylabels = (minimum_frequency * 2.0 ** (ylocs / octave_resolution)).astype(int)
-    plt.imshow(amplitude_to_db(cqt_spectrogram), aspect="auto", cmap="jet",
-               origin="lower")
+    plt.imshow(amplitude_to_db(cqt_spectrogram, floor), aspect="auto",
+               cmap="jet", origin="lower")
     plt.xticks(ticks=xlocs, labels=xlabels)
     plt.yticks(ticks=ylocs, labels=ylabels)
     plt.xlabel("Time (s)")
