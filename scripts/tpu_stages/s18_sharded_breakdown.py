@@ -12,15 +12,16 @@ the c64 rate for STFT) and eagerly pads the c64 input for ISTFT — or
 Arms per transform (120-s scale, matching s13):
 
   plain           the public single-device transform
-  sharded         the public sharded transform (wrapper + eager ops)
-  core            the bucketed zjit core alone on pre-padded input (no
-                  eager slice) — sharded minus wrapper
-  eager_slice     ``out[..., :t]`` on the core output alone (STFT/MDCT)
-  eager_pad       the eager input pad alone (ISTFT)
+  sharded         the public sharded transform (wrapper + finish/prep)
+  core            the bucketed zjit core alone on pre-padded input
+  finish / prep   the split small programs (mirror+transpose+slice;
+                  fold+pad) that replaced round 3's eager full passes
+  eager_pad       the ROUND-3 eager input pad alone (ISTFT) — kept as the
+                  cost the split removed
   body_unsharded  the same body program on the same bucketed length with
                   NO shard_map — core minus shard_map structure
 
-Attribution identity to read off: sharded ~= core + eager ops, and
+Attribution identity to read off: sharded ~= core + finish/prep, and
 core - body_unsharded = the true shard_map cost.
 
 Prints ONE JSON line.
@@ -109,11 +110,12 @@ def main():
         lambda s: _sh.stft_sharded(s, win, STEP, mesh), x, frames=t)
     run("stft", "core",
         lambda s: _sh._stft_full_sharded(s, win_dev, STEP, mesh, axis, pads,
-                                         False), x_body, frames=t)
-    core_out = _sh._stft_full_sharded(x_body, win_dev, STEP, mesh, axis,
-                                      pads, False)
-    core_out.block_until_ready()
-    run("stft", "eager_slice", lambda o: o[..., :t], core_out, frames=t)
+                                         False)[0], x_body, frames=t)
+    re_h, im_h = _sh._stft_full_sharded(x_body, win_dev, STEP, mesh, axis,
+                                        pads, False)
+    im_h.block_until_ready()
+    run("stft", "finish", lambda a, b: _sh._stft_finish(a, b, WL, t),
+        re_h, im_h, frames=t)
 
     # The same body program, same bucketed length, no shard_map.
     def body_unsharded(sig):
@@ -142,9 +144,14 @@ def main():
         spec, frames=t)
     run("istft", "sharded",
         lambda z: _sh.istft_sharded(z, win, STEP, mesh), spec, frames=t)
+    run("istft", "prep", lambda z: _sh._istft_prep(z, WL, t_pad_i)[0],
+        spec, frames=t)
+    h_re, h_im = _sh._istft_prep(spec, WL, t_pad_i)
+    h_im.block_until_ready()
     run("istft", "core",
-        lambda z: _sh._istft_core_sharded(z, STEP, mesh, axis, gain),
-        spec_padded, frames=t)
+        lambda a, b: _sh._istft_core_sharded_folded(a, b, WL, STEP, mesh,
+                                                    axis, gain),
+        h_re, h_im, frames=t)
     run("istft", "eager_pad",
         lambda z: jnp.pad(z, [(0, 0), (0, t_pad_i - t)]), spec, frames=t)
 
@@ -181,7 +188,30 @@ def main():
     core_m = _sh._mdct_full_sharded_direct(
         x_body_m, as_device_constant(tdac), mat, mesh, axis, pads_m)
     core_m.block_until_ready()
-    run("mdct", "eager_slice", lambda o: o[..., :t_m], core_m, frames=t_m)
+    run("mdct", "finish", lambda o: _sh._transpose_slice(o, t_m), core_m,
+        frames=t_m)
+    # Slice-order A/B: slicing the unaligned frame axis BEFORE the
+    # transpose may force the slow copy path; transposing first keeps the
+    # fast tiled transpose and slices lanes after.
+    run("mdct", "finish_tfirst",
+        jax.jit(lambda o: jnp.swapaxes(o, -1, -2)[..., :t_m]), core_m,
+        frames=t_m, gate=False)
+
+    # The same fused-kernel body on the same bucketed length, no shard_map:
+    # isolates the shard_map structure cost seen in the core arm.
+    from zaftpu.pallas import fused as _fused
+    from zaftpu.transforms.mdct import _direct_forward_ops_padded
+
+    def mdct_body_unsharded(sig):
+        body = jnp.pad(sig, [(step_m, body_len_m - step_m - sig.shape[-1])])
+        extended = jnp.concatenate(
+            [body, jnp.zeros((WL - step_m,), body.dtype)])
+        return _fused.frames_op(extended, jnp.asarray(tdac),
+                                _direct_forward_ops_padded, step_m, WL,
+                                step_m, t_pad_m)
+
+    run("mdct", "body_unsharded", jax.jit(mdct_body_unsharded), x,
+        frames=t_m, gate=False)
 
     # Ratios the VERDICT gate reads.
     for name in ("stft", "istft", "mdct"):

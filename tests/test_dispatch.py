@@ -109,13 +109,13 @@ def test_precision_flip_retraces(x32, win32, monkeypatch):
 
 def test_compute_dtype_context_flip_retraces(x32, monkeypatch):
     """Entering compute_dtype("bfloat16") between two same-shape CQT calls
-    must lower the operator matmuls (different values) and also raise the
-    block-frames default to the bf16-optimal 1024."""
+    must lower the operator matmuls (different values); the block default
+    is 1024 for both dtypes since round 4 (cqt_roofline.json)."""
     from zaftpu.transforms import cqt as cqt_mod
 
     kern = zaftpu.cqtkernel(SR, 24, 55.0, 3520.0)
     ref = np.asarray(zaftpu.cqtspectrogram(x32, SR, 25, kern))
-    assert cqt_mod._block_frames() == 256
+    assert cqt_mod._block_frames() == 1024
     with zaftpu.compute_dtype("bfloat16"):
         assert cqt_mod._block_frames() == 1024
         got = np.asarray(zaftpu.cqtspectrogram(x32, SR, 25, kern))
@@ -132,7 +132,7 @@ def test_cqt_block_env_flip_takes_effect(monkeypatch):
     monkeypatch.setenv("ZAFTPU_CQT_BLOCK", "64")
     assert cqt_mod._block_frames() == 64
     monkeypatch.delenv("ZAFTPU_CQT_BLOCK")
-    assert cqt_mod._block_frames() == 256
+    assert cqt_mod._block_frames() == 1024
 
 
 def test_zjit_preserves_signature_statics(x32, win32):

@@ -57,13 +57,55 @@ def zjit(fn=None, *, static_argnames=()):
     ])
     shim.__name__ = getattr(fn, "__name__", "zjit_fn")
 
-    jitted = jax.jit(shim,
-                     static_argnames=tuple(static_argnames) + ("_dispatch",))
+    # Second shim with its own identity: jit objects over the SAME function
+    # share trace caches (see module docstring), so the compiler-options
+    # twin below needs a distinct wrapped callable.
+    def shim_vmem(*args, _dispatch=None, **kwargs):
+        return fn(*args, **kwargs)
+
+    shim_vmem.__signature__ = shim.__signature__
+    shim_vmem.__name__ = shim.__name__
+
+    statics = tuple(static_argnames) + ("_dispatch",)
+    jitted = jax.jit(shim, static_argnames=statics)
+    # TPU twin with a raised scoped-VMEM budget: XLA's layout assignment
+    # stages pallas buffers in scoped VMEM for a window of grid lengths and
+    # OOMs its 16 MiB stack when the split4 fused kernel is in the program
+    # (t=8192/12800/25841 at WL=2048 failed, 1024/4096/19200 passed —
+    # docs/tpu_results/split4_grid.json; this was round 3's "Mosaic 500").
+    # compiler_options are only legal on a TOP-LEVEL jit, hence here and
+    # not on the inner pallas jit.
+    jitted_vmem = jax.jit(
+        shim_vmem, static_argnames=statics,
+        compiler_options={"xla_tpu_scoped_vmem_limit_kib": "24576"})
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        return jitted(*args, _dispatch=DispatchConfig.current(), **kwargs)
+        j = jitted_vmem if _wants_scoped_vmem() else jitted
+        return j(*args, _dispatch=DispatchConfig.current(), **kwargs)
 
     wrapper._zjit = jitted  # test/introspection hook
     wrapper._cache_size = jitted._cache_size  # jax.jit API passthrough
     return wrapper
+
+
+def _wants_scoped_vmem() -> bool:
+    """Route this call through the raised-scoped-VMEM jit twin?
+
+    True exactly when the split4 fused kernel can enter the trace (the one
+    construct measured to overflow XLA's default 16 MiB scoped-VMEM stack)
+    AND this call is the top-level jit — under an outer trace the nested
+    jit inlines and JAX forbids compiler_options on it; the outer program
+    then simply lacks the bump, and a scoped-VMEM OOM there is caught by
+    the guarded Pallas fallback."""
+    from zaftpu.utils.devcache import _tracing_active
+
+    if _tracing_active():
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from zaftpu import pallas as _pallas
+    from zaftpu.core.policy import split4_enabled
+
+    return (split4_enabled() and _pallas.enabled()
+            and _pallas.fused_enabled())

@@ -397,13 +397,7 @@ def direct_real_ifft(z: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     linear algebra, kills the post-OLA elementwise pass; rounding differs
     from a post-division by ≤1 ulp.
     """
-    from zaftpu.core.policy import real_matmul
-
     n = z.shape[-1]
-    half = n // 2 + 1
-    rdtype = jnp.result_type(jnp.real(z), jnp.float32)
-    cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name,
-                                           float(scale))
     # Hermitian fold H_k = (Z_k + conj(Z_{(N-k) mod N})) / 2, done on the
     # real/imag planes with an index gather: reverse-slicing the minor
     # (lane) dimension of a complex array is a slow relayout on TPU — the
@@ -419,9 +413,32 @@ def direct_real_ifft(z: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
             zr, zi, n, strategy=os.environ.get("ZAFTPU_MIRROR_STRATEGY",
                                                "rev"))
     else:
-        idx_rev = jnp.asarray(_fold_index(n))
-        h_re = 0.5 * (zr[..., :half] + zr[..., idx_rev])
-        h_im = 0.5 * (zi[..., :half] - zi[..., idx_rev])
+        h_re, h_im = hermitian_fold_planes(zr, zi, n)
+    return direct_real_ifft_folded(h_re, h_im, n, scale)
+
+
+def hermitian_fold_planes(zr: jnp.ndarray, zi: jnp.ndarray, n: int):
+    """The Hermitian fold ``H_k = (Z_k + conj(Z_{(N-k) mod N})) / 2`` on
+    (re, im) planes over the last axis (the lane-gather formulation of
+    :func:`direct_real_ifft`'s fold, exposed so split sharded pipelines can
+    run the fold in a separate program while staying bit-identical)."""
+    half = n // 2 + 1
+    idx_rev = jnp.asarray(_fold_index(n))
+    return (0.5 * (zr[..., :half] + zr[..., idx_rev]),
+            0.5 * (zi[..., :half] - zi[..., idx_rev]))
+
+
+def direct_real_ifft_folded(h_re: jnp.ndarray, h_im: jnp.ndarray, n: int,
+                            scale: float = 1.0) -> jnp.ndarray:
+    """The GEMM half of :func:`direct_real_ifft`, taking pre-folded
+    Hermitian planes ``(..., N/2+1)`` (bit-identical composition:
+    ``direct_real_ifft(z, s) == direct_real_ifft_folded(
+    *hermitian_fold_planes(real(z), imag(z), n), n, s)``)."""
+    from zaftpu.core.policy import real_matmul
+
+    rdtype = jnp.result_type(h_re, jnp.float32)
+    cos_m, sin_m = _direct_ridft_half_mats(n, np.dtype(rdtype).name,
+                                           float(scale))
     return (real_matmul(h_re, jnp.asarray(cos_m))
             - real_matmul(h_im, jnp.asarray(sin_m)))
 

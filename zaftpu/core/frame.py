@@ -80,11 +80,21 @@ def overlap_add(frames: jnp.ndarray, step_length: int) -> jnp.ndarray:
     out_len = t * s + (wl - s)
     if wl % s == 0:
         k = wl // s
-        # chunk c of frame j lands at block j+c of the length-s block grid.
+        # chunk c of frame j lands at block j+c of the length-s block grid:
+        # sum K top/bottom-padded chunk planes. The pads fuse as masked
+        # operand reads, so XLA emits ONE write pass over the output — the
+        # former zeros + .at[].add formulation compiled to K read-modify-
+        # write passes (measured 0.67 vs 0.30 ms on CPU, 2.81 vs 3.9 ms on
+        # the v5e at 10-min scale; docs/tpu_results/assembly_ola.json,
+        # gather_ola2.json). Bit-identical: same per-element addition order
+        # (c ascending, left-associated; the former 0 + x0 head is exact).
+        lead_pad = [(0, 0)] * len(lead)
         chunks = frames.reshape(*lead, t, k, s)
-        total = jnp.zeros((*lead, t + k - 1, s), dtype=frames.dtype)
-        for c in range(k):
-            total = total.at[..., c:c + t, :].add(chunks[..., :, c, :])
+        total = jnp.pad(chunks[..., :, 0, :],
+                        lead_pad + [(0, k - 1), (0, 0)])
+        for c in range(1, k):
+            total = total + jnp.pad(chunks[..., :, c, :],
+                                    lead_pad + [(c, k - 1 - c), (0, 0)])
         return total.reshape(*lead, out_len)
     starts = np.arange(t) * s
     idx = (starts[:, None] + np.arange(wl)[None, :]).reshape(-1)

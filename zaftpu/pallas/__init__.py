@@ -143,16 +143,17 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     per operator component — see pallas/fused.py) and is hardware-proven
     (stft_engines round 3: +16% STFT at equal SNR class)."""
     from zaftpu.core import fft as _fft
-    from zaftpu.core.policy import split4_enabled
     from zaftpu.pallas import fused as _fused
 
-    # split4 is excluded from auto-dispatch: the in-VMEM 4-pass kernel
-    # compiles and is accurate at small scale (relerr 2.9e-6) but the
-    # remote Mosaic helper 500s on it at production grid lengths
-    # (2026-08-20, t=25841), and the resulting guarded latch would cost
-    # the process ALL Pallas kernels. The split4 XLA path is the
-    # measured wash anyway (2.079M vs 2.085M fr/s, 10-min STFT).
-    if (enabled() and fused_enabled() and not split4_enabled()
+    # split4 runs the fused kernel too since round 4: the "Mosaic 500 at
+    # production grid lengths" that forced the round-3 exclusion was an
+    # XLA scoped-VMEM layout OOM in a window of t_pad sizes, not a Mosaic
+    # construct — fixed by the raised per-compile scoped-vmem budget in
+    # fused._frames_matmul_tpu (root cause + walk in
+    # docs/tpu_results/split4_grid.json; hardware-verified at t=8192/
+    # 12800/25841, relerr <= 3.0e-6, 2.18M frames/s half-spectrum at 10-min
+    # scale).
+    if (enabled() and fused_enabled()
             and padded.ndim == 1
             and _fft.direct_engine_enabled(window_length)
             and _fused.supported(window_length, step, padded.dtype)):

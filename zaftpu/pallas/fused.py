@@ -151,11 +151,9 @@ def _kernel_split4(k: int, block: int, use_reduce_precision: bool, sig_ref,
     out_ref[:, :] = ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
 
 
-@functools.partial(jax.jit, static_argnames=("window_length", "step",
-                                             "number_times", "precision",
-                                             "interpret"))
-def frames_matmul(padded, window, ops, window_length: int, step: int,
-                  number_times: int, precision, interpret: bool = False):
+def _frames_matmul_impl(padded, window, ops, window_length: int, step: int,
+                        number_times: int, precision,
+                        interpret: bool = False):
     """``windowed_frames(padded) @ ops[c]`` for each stacked operator
     component, without materializing the frames in HBM.
 
@@ -211,6 +209,22 @@ def frames_matmul(padded, window, ops, window_length: int, step: int,
 
     out = jnp.stack([one_component(ops[c]) for c in range(n_comp)])
     return out[:, :number_times, :]
+
+
+# NOTE on the round-3 "split4 fused kernel Mosaic 500 at production grid
+# lengths": the real failure was XLA's layout assignment staging buffers in
+# scoped VMEM for a WINDOW of t_pad sizes (t=8192/12800/25841 failed while
+# 1024/4096/19200 passed — "Ran out of memory in memory space vmem ...
+# 19.71M and limit 16.00M"; walk in docs/tpu_results/split4_grid.json).
+# The fix lives in zaftpu.core.dispatch.zjit: the TOP-LEVEL transform jit
+# raises the scoped budget via compiler_options when the split4 fused
+# dispatch is active (JAX forbids compiler_options on nested jits, so it
+# cannot live here). Hardware-verified at all three failing sizes, relerr
+# <= 3.0e-6.
+frames_matmul = jax.jit(
+    _frames_matmul_impl,
+    static_argnames=("window_length", "step", "number_times", "precision",
+                     "interpret"))
 
 
 def _dispatch_ops(ops_padded_fn, n: int):

@@ -216,16 +216,47 @@ def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
                                    "pads", "magnitude"))
 def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
                        axis_name, pads, magnitude):
-    """Sharded STFT (or magnitude spectrogram) as one jitted dispatch.
+    """Sharded STFT body (bucketed): frames-major half spectrum as (re, im)
+    f32/f64 planes, or the magnitude ``(t_pad, WL/2)`` when ``magnitude``.
 
-    Returns the full ``t_pad``-wide output; the true-length slice happens
-    eagerly in the wrapper so this trace serves every signal length in a
-    bucket (the wrapper pre-pads the input to the bucket shape)."""
+    This trace serves every signal length in a bucket (the wrapper pre-pads
+    the input to the bucket shape). The mirror/transpose/true-length slice
+    happen in :func:`_stft_finish` — a separate small jitted program keyed
+    on the true frame count — so the full-spectrum output is written
+    exactly ONCE at its true size. Round 3 instead returned the full
+    ``t_pad``-wide bins-major complex and sliced eagerly, which cost a
+    whole extra pass at the c64 relayout rate (the dominant share of the
+    0.72x sharded/plain STFT ratio, docs/tpu_results/sharded_tpu.json;
+    attribution in sharded_breakdown.json)."""
     half = _stft_half_sharded(audio_signal, window_function, step_length,
                               mesh, axis_name, pads)
     if magnitude:
-        return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)
-    full = _fft.full_from_half(half, window_function.shape[0])
+        return jnp.abs(half[..., 1:])
+    # real()/imag() of the upstream lax.complex fuse away on the engine
+    # path — the half spectrum is never materialized as complex.
+    return jnp.real(half), jnp.imag(half)
+
+
+@partial(zjit, static_argnames=("number_times",))
+def _transpose_slice(frames_major, number_times):
+    """``swapaxes(x[..., :t, :], -1, -2)`` as one fused pass — the shared
+    finish step for frames-major real outputs (magnitude spectrogram, MDCT
+    coefficients): the transpose that previously ran inside the bucketed
+    body now absorbs the true-length slice, so the t_pad-wide array is
+    never written twice."""
+    return jnp.swapaxes(frames_major[..., :number_times, :], -1, -2)
+
+
+@partial(zjit, static_argnames=("window_length", "number_times"))
+def _stft_finish(re_half, im_half, window_length, number_times):
+    """Mirror + transpose + true-length slice in one fused pass: reads the
+    half planes (frames-major), writes the ``(WL, number_times)`` complex
+    output once. Keyed on the true frame count — a small, fast-compiling
+    program, so per-length retraces stay cheap while the expensive body
+    trace stays bucketed."""
+    half = jax.lax.complex(re_half[..., :number_times, :],
+                           im_half[..., :number_times, :])
+    full = _fft.full_from_half(half, window_length)
     return jnp.swapaxes(full, -1, -2)
 
 
@@ -249,9 +280,10 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
-    out = _stft_full_sharded(audio_signal, window_function,
-                             int(step_length), mesh, axis_name, pads, False)
-    return out[..., :t]
+    re_half, im_half = _stft_full_sharded(
+        audio_signal, window_function, int(step_length), mesh, axis_name,
+        pads, False)
+    return _stft_finish(re_half, im_half, wl, t)
 
 
 @_pallas_guarded
@@ -266,32 +298,59 @@ def spectrogram_sharded(audio_signal, window_function, step_length: int,
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
-    out = _stft_full_sharded(audio_signal, window_function,
+    mag = _stft_full_sharded(audio_signal, window_function,
                              int(step_length), mesh, axis_name, pads, True)
-    return out[..., :t]
+    return _transpose_slice(mag, t)
 
 
 @partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
                                    "gain"))
 def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, gain):
-    """Input is already frame-padded to the bucketed ``t_pad`` (zero frame
-    columns contribute nothing to the overlap-add); returns everything after
-    the front trim — the wrapper slices the true length eagerly."""
+    """Non-engine (native-FFT / f64 oracle) sharded synthesis core. Input
+    is already frame-padded to the bucketed ``t_pad`` (zero frame columns
+    contribute nothing to the overlap-add); returns everything after the
+    front trim — the wrapper slices the true length eagerly."""
     wl = audio_stft.shape[-2]
     frames_major = jnp.swapaxes(audio_stft, -1, -2)
-    if _fft.direct_engine_enabled(wl):
-        # Engine path: fold the COLA gain into the inverse operator columns
-        # (same as the single-device synthesis_ola) — kills the post-OLA
-        # elementwise pass over the output signal.
-        frames = _fft.direct_real_ifft(frames_major, scale=1.0 / gain)
-        body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
-        # Reference trim [wl-step : T*step) of the pre-trim signal
-        # (zaf.py:236).
-        return body[..., wl - step_length:]
     frames = _fft.real_ifft(frames_major)
     body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
     out = body[..., wl - step_length:]
     return out / jnp.asarray(gain, dtype=out.dtype)
+
+
+@partial(zjit, static_argnames=("window_length", "frames_pad"))
+def _istft_prep(audio_stft, window_length, frames_pad):
+    """Engine-path prep: transpose + Hermitian fold + frame-axis pad to the
+    bucketed ``frames_pad`` in ONE pass over the complex input, producing
+    ``(h_re, h_im)`` float planes ``(..., frames_pad, WL/2+1)``. Round 3
+    instead eagerly zero-padded the complex spectrum to ``t_pad`` — a whole
+    extra pass at the c64 rate before the core even started (the dominant
+    share of the 0.84x sharded/plain ISTFT ratio; attribution in
+    docs/tpu_results/sharded_breakdown.json). Zero spectrum columns fold to
+    zero planes, so padding after the fold is exact."""
+    fm = jnp.swapaxes(audio_stft, -1, -2)
+    h_re, h_im = _fft.hermitian_fold_planes(jnp.real(fm), jnp.imag(fm),
+                                            window_length)
+    pad = ([(0, 0)] * (h_re.ndim - 2)
+           + [(0, frames_pad - h_re.shape[-2]), (0, 0)])
+    return jnp.pad(h_re, pad), jnp.pad(h_im, pad)
+
+
+@partial(zjit, static_argnames=("window_length", "step_length", "mesh",
+                                   "axis_name", "gain"))
+def _istft_core_sharded_folded(h_re, h_im, window_length, step_length, mesh,
+                               axis_name, gain):
+    """Engine-path sharded synthesis from pre-folded Hermitian planes
+    (bucketed trace): the COLA gain folds into the inverse operator columns
+    (same as the single-device synthesis_ola) — kills the post-OLA
+    elementwise pass over the output signal. Bit-identical composition with
+    :func:`_istft_prep` to the former single-core program."""
+    frames = _fft.direct_real_ifft_folded(h_re, h_im, window_length,
+                                          scale=1.0 / gain)
+    body = _sharded_synthesis(frames, window_length, step_length, mesh,
+                              axis_name)
+    # Reference trim [wl-step : T*step) of the pre-trim signal (zaf.py:236).
+    return body[..., window_length - step_length:]
 
 
 @_pallas_guarded
@@ -312,10 +371,15 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
     n_shards = mesh.shape[axis_name]
     t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
     gain = _frame.cola_gain(np.asarray(window_function), step)
-    padded = jnp.pad(
-        audio_stft,
-        [(0, 0)] * (audio_stft.ndim - 2) + [(0, 0), (0, t_pad - t)])
-    out = _istft_core_sharded(padded, step, mesh, axis_name, gain)
+    if _fft.direct_engine_enabled(wl):
+        h_re, h_im = _istft_prep(audio_stft, wl, t_pad)
+        out = _istft_core_sharded_folded(h_re, h_im, wl, step, mesh,
+                                         axis_name, gain)
+    else:
+        padded = jnp.pad(
+            audio_stft,
+            [(0, 0)] * (audio_stft.ndim - 2) + [(0, 0), (0, t_pad - t)])
+        out = _istft_core_sharded(padded, step, mesh, axis_name, gain)
     return out[..., :t * step - (wl - step)]
 
 
@@ -430,9 +494,12 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
 @partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
 def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
                        axis_name, pads):
-    coeffs = _mdct_core_sharded(audio_signal, window_function, pre, post,
-                                mesh, axis_name, pads)
-    return jnp.swapaxes(coeffs, -1, -2)
+    """Bucketed body: FRAMES-MAJOR coefficients ``(..., t_pad, WL/2)``; the
+    wrapper's :func:`_transpose_slice` fuses the bins-major transpose with
+    the true-length slice (one pass instead of the round-3 in-core
+    transpose + eager slice pair)."""
+    return _mdct_core_sharded(audio_signal, window_function, pre, post,
+                              mesh, axis_name, pads)
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
@@ -440,7 +507,8 @@ def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
                               axis_name, pads):
     """Direct-GEMM sharded MDCT: same folded (WL, WL/2) operator as the
     single-device path, so the value-identity contract holds under
-    ``ZAFTPU_FFT=matmul`` too."""
+    ``ZAFTPU_FFT=matmul`` too. FRAMES-MAJOR output ``(..., t_pad, WL/2)``
+    — the wrapper's :func:`_transpose_slice` fuses transpose + slice."""
     pad_front, body_len, _ = pads
     wl = window_function.shape[0]
     step = wl // 2
@@ -471,8 +539,7 @@ def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
                                          step, t_local)
         return _policy.real_matmul(frames, matrix.astype(frames.dtype))
 
-    coeffs = _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
-    return jnp.swapaxes(coeffs, -1, -2)
+    return _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
 
 
 def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
@@ -522,23 +589,35 @@ def mdct_sharded(audio_signal, window_function, mesh,
             audio_signal, as_device_constant(window_function),
             pinned_device_constant(_direct_forward_matrix(wl), rdtype),
             mesh, axis_name, (step, body_len, t_pad))
-        return out[..., :t]
+        return _transpose_slice(out, t)
     pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     out = _mdct_full_sharded(
         audio_signal, as_device_constant(window_function),
         device_constant(pre, ctype), device_constant(post, ctype),
         mesh, axis_name, (step, body_len, t_pad))
-    return out[..., :t]
+    return _transpose_slice(out, t)
+
+
+@partial(zjit, static_argnames=("frames_pad",))
+def _imdct_prep(audio_mdct, frames_pad):
+    """Transpose to frames-major + frame-axis pad to the bucketed ``t_pad``
+    in ONE pass over the coefficient matrix. Round 3 instead eagerly padded
+    the bins-major matrix (a full extra pass) and transposed inside the
+    core; attribution in docs/tpu_results/sharded_breakdown.json."""
+    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    pad = ([(0, 0)] * (coeffs.ndim - 2)
+           + [(0, frames_pad - coeffs.shape[-2]), (0, 0)])
+    return jnp.pad(coeffs, pad)
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))
-def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
+def _imdct_core_sharded(coeffs, window_function, pre, post, mesh,
                         axis_name):
-    """Input already frame-padded to the bucketed ``t_pad``; returns the
-    body after the front trim — the wrapper slices the true length."""
-    f = audio_mdct.shape[-2]
-    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    """FRAMES-MAJOR input ``(..., t_pad, F)`` (from :func:`_imdct_prep`);
+    returns the body after the front trim — the wrapper slices the true
+    length."""
+    f = coeffs.shape[-1]
     ctype = jnp.result_type(coeffs, pre)
     spectra = _fft.fft(coeffs * pre.astype(ctype), n=2 * f)
     frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
@@ -548,24 +627,22 @@ def _imdct_core_sharded(audio_mdct, window_function, pre, post, mesh,
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))
-def _imdct_core_sharded_direct(audio_mdct, matrix, mesh, axis_name):
+def _imdct_core_sharded_direct(coeffs, matrix, mesh, axis_name):
     """Direct-GEMM sharded inverse MDCT: the window-folded (F, 2F) operator
     of the single-device path (pre/FFT/post/2*Re/window fused), so values
-    stay identical under ``ZAFTPU_FFT=matmul``."""
-    f = audio_mdct.shape[-2]
-    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    stay identical under ``ZAFTPU_FFT=matmul``. FRAMES-MAJOR input."""
+    f = coeffs.shape[-1]
     frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
     return body[..., f:]
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))
-def _imdct_core_sharded_direct_unfused(audio_mdct, window_function, matrix,
+def _imdct_core_sharded_direct_unfused(coeffs, window_function, matrix,
                                        mesh, axis_name):
     """Traced/device-resident window twin — post-GEMM multiply, matching
     :func:`zaftpu.transforms.mdct._imdct_direct_core_unfused`."""
-    f = audio_mdct.shape[-2]
-    coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    f = coeffs.shape[-1]
     frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
     frames = frames * window_function.astype(frames.dtype)
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
@@ -584,9 +661,7 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     from zaftpu.utils.devcache import (as_device_constant, device_constant,
                                        pinned_device_constant)
 
-    padded = jnp.pad(
-        audio_mdct,
-        [(0, 0)] * (audio_mdct.ndim - 2) + [(0, 0), (0, t_pad - t)])
+    padded = _imdct_prep(audio_mdct, t_pad)
     if _fft.direct_engine_enabled(2 * f):
         rdtype = (np.float32 if audio_mdct.dtype == jnp.float32
                   else np.float64)

@@ -211,21 +211,21 @@ def _block_frames() -> int:
     """Frames per on-device block: bounds the gathered-frames buffer at
     block * fft_length * 4 bytes (~34 MB at 256). ``ZAFTPU_CQT_BLOCK``
     overrides for hardware tuning (larger blocks amortize per-block overhead
-    and give the MXU taller matmuls). Defaults are the best measured cells of
-    the amortized v5e sweep per matmul dtype (scripts/tpu_stages/
-    s7_cqt_tune.py, docs/tpu_results/cqt_tune.json): 256 for f32/HIGHEST
-    (938k fr/s vs 878k at 128), 1024 under the bf16 policy (2.06M fr/s vs
-    938k at the f32-optimal 256 — bf16 halves the operand traffic, so the
-    sweep keeps climbing). Read per call, not at import, so flipping the env
-    or entering ``compute_dtype("bfloat16")`` takes effect immediately (the
-    block feeds a static jit argument)."""
+    and give the MXU taller matmuls). Default 1024 for BOTH matmul dtypes:
+    the round-3 short-scale sweep picked 256 for f32/HIGHEST
+    (docs/tpu_results/cqt_tune.json), but at the 600-s suite scale 1024
+    measures 784k vs 638k frames/s (+23%, docs/tpu_results/
+    cqt_roofline.json — the short probe under-amortized per-block fixed
+    costs); bf16 measured 2.02M at 1024. Read per call, not at import, so
+    flipping the env or entering ``compute_dtype("bfloat16")`` takes effect
+    immediately (the block feeds a static jit argument)."""
     env = os.environ.get("ZAFTPU_CQT_BLOCK")
     if env:
         try:
             return max(1, int(env))
         except ValueError:
             pass
-    return 1024 if _policy.matmul_dtype() is not None else 256
+    return 1024
 
 
 @partial(zjit, static_argnames=("pads", "step_length", "fft_length",

@@ -140,16 +140,33 @@ def _direct_inverse_windowed_matrix(number_frequencies: int,
     return _direct_inverse_matrix(number_frequencies) * win[None, :]
 
 
+def _imdct_ola(frames, f):
+    """Measured per-mode OLA dispatch for the inverse-MDCT synthesis tail
+    (docs/tpu_results/gather_ola2.json / assembly_ola.json, v5e 10-min):
+    at default precision XLA fuses the pads-sum XLA OLA into the inverse
+    GEMM's epilogue, beating the one-write Pallas kernel (4.96M vs 4.59M
+    frames/s); under split4 the 4-pass GEMM blocks that fusion and the
+    kernel wins (5.51M vs 4.76M). The two formulations are bit-identical,
+    so the dial never changes values. The ISTFT keeps the kernel in both
+    modes (14.10 vs 14.92 ms default)."""
+    from zaftpu import pallas as _pallas
+    from zaftpu.core import frame as _frame
+    from zaftpu.core.policy import split4_enabled
+
+    if _pallas.enabled() and not split4_enabled():
+        return _frame.overlap_add(frames, f)
+    return _pallas.overlap_add(frames, f)
+
+
 @zjit
 def _imdct_direct_core(audio_mdct: jnp.ndarray,
                        matrix: jnp.ndarray) -> jnp.ndarray:
-    from zaftpu import pallas as _pallas
     from zaftpu.core.policy import real_matmul
 
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
     frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
-    signal = _pallas.overlap_add(frames, f)
+    signal = _imdct_ola(frames, f)
     return signal[..., f:signal.shape[-1] - f - 1]
 
 
@@ -160,14 +177,13 @@ def _imdct_direct_core_unfused(audio_mdct: jnp.ndarray,
     """Traced/device-resident windows (jit or grad w.r.t. the window, or a
     window living on the device) cannot be folded into the host-built
     operator — keep the differentiable post-GEMM multiply for those."""
-    from zaftpu import pallas as _pallas
     from zaftpu.core.policy import real_matmul
 
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)
     frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
     frames = frames * window_function.astype(frames.dtype)
-    signal = _pallas.overlap_add(frames, f)
+    signal = _imdct_ola(frames, f)
     return signal[..., f:signal.shape[-1] - f - 1]
 
 
@@ -263,11 +279,9 @@ def _imdct_core(audio_mdct: jnp.ndarray, window_function: jnp.ndarray,
     # Zero-padded length-2F FFT of the pre-twiddled coefficients, batched
     # over all frames (reference zaf.py:1159-1163).
     spectra = _fft.fft(coeffs * pre.astype(ctype), n=2 * f)
-    from zaftpu import pallas as _pallas
-
     frames = 2.0 * jnp.real(spectra * post) * window_function.astype(
         jnp.real(spectra).dtype)
-    signal = _pallas.overlap_add(frames, f)
+    signal = _imdct_ola(frames, f)
     # Reference trim is [step : -step-1] — one sample shorter than the
     # padded length on the right (zaf.py:1182).
     return signal[..., f:signal.shape[-1] - f - 1]
