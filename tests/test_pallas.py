@@ -313,3 +313,35 @@ def test_mirror_dispatch_matches_default(monkeypatch):
                                    atol=2e-5 * np.abs(rec_ref).max())
     finally:
         jax.clear_caches()
+
+
+def test_cqtslab_kernel_matches_slab_loop():
+    """The fused slab-CQT kernel (interpret mode) matches the XLA slab-loop
+    engine path on a small synthetic CQT geometry (scale-aware: the kernel
+    accumulates the same slab order but Mosaic/XLA dot rounding differs)."""
+    import zaftpu
+    from zaftpu.pallas import cqtslab
+    from zaftpu.transforms import cqt as cqt_mod
+
+    sr, time_res = 8000, 25
+    kern = cqt_mod._as_kernel(zaftpu.cqtkernel(sr, 12, 110.0, 880.0))
+    step = round(sr / time_res)
+    n = sr * 2
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    t = n // step
+    L = kern.fft_length
+
+    m_real = np.ascontiguousarray(kern.time_kernel.real.T).astype(np.float32)
+    m_imag = np.ascontiguousarray(kern.time_kernel.imag.T).astype(np.float32)
+    key = ("test_cqtslab", sr, 12)
+    cqtslab.register_kernel(key, m_real, m_imag)
+
+    pad_front = int(-(-(L - step) // 2))
+    padded = jnp.asarray(np.pad(x, (pad_front, L)))
+    got = np.asarray(cqtslab.cqt_magnitudes(
+        padded, key, step, L, t, kern.number_frequencies, block=16,
+        interpret=True))
+    ref = np.asarray(zaftpu.cqtspectrogram(x, sr, time_res, kern)).T
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-6 * scale, rtol=2e-5)
