@@ -143,3 +143,30 @@ def test_zjit_preserves_signature_statics(x32, win32):
     out = zaftpu.stft(x32, win32, STEP)
     t = stft_padding(SR, WL, STEP)[2]
     assert out.shape == (WL, t) and out.dtype == np.complex64
+
+
+def test_scoped_vmem_twin_selection(monkeypatch):
+    """The raised-scoped-VMEM jit twin engages exactly for the split4 fused
+    dispatch on TPU, and never under an outer trace (compiler_options are
+    illegal on nested jits)."""
+    import jax
+
+    from zaftpu.core import dispatch as disp
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setenv("ZAFTPU_FUSED", "1")
+    on_tpu = jax.default_backend() == "tpu"
+    assert disp._wants_scoped_vmem() == on_tpu
+
+    seen = []
+
+    def probe(_):
+        seen.append(disp._wants_scoped_vmem())
+        return jax.numpy.zeros(())
+
+    jax.jit(probe)(jax.numpy.zeros(()))  # traced under an outer jit
+    assert seen == [False]
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "highest")
+    assert disp._wants_scoped_vmem() is False
