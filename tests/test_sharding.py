@@ -242,6 +242,23 @@ def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch):
     assert snr_db(signal, rec) > 250.0
 
 
+def test_istft_sharded_direct_engine(signal, window, mesh, monkeypatch):
+    """Under ZAFTPU_FFT=matmul the sharded ISTFT runs the round-4 split
+    path — ``_istft_prep`` (transpose + Hermitian fold + frame pad in one
+    pass) feeding the bucketed folded-GEMM core — and must stay
+    value-identical to the single-device engine synthesis (zaf.py:144-243;
+    the CPU suite otherwise never exercises this path because the engine is
+    TPU-auto)."""
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    spec = np.asarray(zaftpu.stft(signal, window, STEP))
+    ref = np.asarray(zaftpu.istft(spec, window, STEP))
+    out = np.asarray(istft_sharded(spec, window, STEP, mesh))
+    assert out.shape == ref.shape
+    scale = float(np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=1e-12 * max(1.0, scale))
+    assert snr_db(signal[: len(out)], out) > 250.0
+
+
 def test_cqt_tp_2d_mesh(signal):
     """TP CQT on the 2-D batch x frames mesh with a batched signal — the
     CLAUDE.md sharded-op test matrix's 2-D row for cqtspectrogram_tp."""
