@@ -239,12 +239,13 @@ def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
 
 @partial(zjit, static_argnames=("number_times",))
 def _transpose_slice(frames_major, number_times):
-    """``swapaxes(x[..., :t, :], -1, -2)`` as one fused pass — the shared
-    finish step for frames-major real outputs (magnitude spectrogram, MDCT
-    coefficients): the transpose that previously ran inside the bucketed
-    body now absorbs the true-length slice, so the t_pad-wide array is
-    never written twice."""
-    return jnp.swapaxes(frames_major[..., :number_times, :], -1, -2)
+    """``swapaxes(x, -1, -2)[..., :t]`` — the shared finish step for
+    frames-major real outputs (magnitude spectrogram, MDCT coefficients).
+    Transpose FIRST, then slice the (now minor) frame axis: slicing the
+    unaligned frame axis before the transpose forces XLA's slow copy path
+    (measured 0.432 vs 0.216 ms at 120-s MDCT scale,
+    docs/tpu_results/sharded_breakdown.json arms finish/finish_tfirst)."""
+    return jnp.swapaxes(frames_major, -1, -2)[..., :number_times]
 
 
 @partial(zjit, static_argnames=("window_length", "number_times"))
