@@ -22,9 +22,16 @@ remote Mosaic accepts, see pallas/fused.py):
 
 Same accumulation order (k ascending, left-associated, starting from the
 first product) as the XLA slab loop, so values match to the dot
-implementation's rounding. ``step`` need not be lane-aligned (the reference
-hop is 1764): the DMAs and dots carry unaligned shapes, Mosaic pads tiles
-internally.
+implementation's rounding.
+
+Alignment: the reference hop (1764) is NOT lane-aligned, and the remote
+Mosaic rejects DMAs whose minor dim mismatches the (8,128) tiling (the
+construct bisect docs/tpu_results/cqtslab_bisect.json: ``dma_unaligned``
+and ``acc_loop`` fail with tiled-memref shape errors while unaligned dots
+and row-shifted VMEM slices pass). Both DMA'd operands are therefore
+lane-padded to ``step128 = ceil(step/128)*128``: the signal rows gain
+zero lanes, the operator slabs gain matching zero rows — the extra
+products are exact zeros, so values are unchanged.
 
 Reference semantics: zaf.py:627-633 (per-frame FFT x spectral kernel, here
 folded to the time-domain operator as in transforms/cqt.py).
@@ -54,15 +61,20 @@ def supported(dtype) -> bool:
     return jnp.dtype(dtype) == jnp.float32
 
 
+def _step128(step: int) -> int:
+    return -(-step // 128) * 128
+
+
 @lru_cache(maxsize=8)
 def _slab_ops_host(kern_key, n_slabs: int, step: int, f_pad: int):
-    """Host-side ``(2, n_slabs, step, f_pad)`` f32 operator slabs from the
-    CQT time kernel registered under ``kern_key`` (see
-    :func:`register_kernel`). Rows beyond ``fft_length`` and columns beyond
-    F are zero — they multiply zero-padded signal / write ignored lanes."""
+    """Host-side ``(2, n_slabs, step128, f_pad)`` f32 operator slabs from
+    the CQT time kernel registered under ``kern_key`` (see
+    :func:`register_kernel`). Rows beyond the slab width (lane padding,
+    rows beyond ``fft_length``) and columns beyond F are zero — they
+    multiply zero signal lanes / write ignored output lanes."""
     m_real, m_imag = _REGISTRY[kern_key]
     length, f = m_real.shape
-    out = np.zeros((2, n_slabs, step, f_pad), np.float32)
+    out = np.zeros((2, n_slabs, _step128(step), f_pad), np.float32)
     for k in range(n_slabs):
         lo = k * step
         width = min(step, length - lo)
@@ -150,6 +162,7 @@ def _cqt_magnitudes_jit(padded, ops, step_length: int, fft_length: int,
 
     n_slabs = -(-fft_length // step_length)
     f_pad = _f_pad(f_channels)
+    s128 = _step128(step_length)
     block = min(block, -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
     rows = t_pad + n_slabs
@@ -157,7 +170,11 @@ def _cqt_magnitudes_jit(padded, ops, step_length: int, fft_length: int,
     padded = padded[:need]
     if padded.shape[0] < need:
         padded = jnp.pad(padded, (0, need - padded.shape[0]))
-    sig2d = padded.reshape(rows, step_length)
+    # Lane-pad each signal row to the (8,128) tiling so the manual DMA is
+    # legal under the remote Mosaic (see module docstring) — one cheap
+    # device pass, zeros multiply zero operator rows.
+    sig2d = jnp.pad(padded.reshape(rows, step_length),
+                    ((0, 0), (0, s128 - step_length)))
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_slabs, block, matmul_precision()),
@@ -171,8 +188,8 @@ def _cqt_magnitudes_jit(padded, ops, step_length: int, fft_length: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block + n_slabs, step_length), jnp.float32),
-            pltpu.VMEM((step_length, f_pad), jnp.float32),
+            pltpu.VMEM((block + n_slabs, s128), jnp.float32),
+            pltpu.VMEM((s128, f_pad), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
             pltpu.VMEM((block, f_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,

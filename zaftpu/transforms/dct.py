@@ -78,10 +78,18 @@ def _direct_matrix(kind: str, transform_type: int, n: int) -> np.ndarray:
             * np.sin(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n)))
 
 
-@zjit
-def _apply_direct(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
+@partial(zjit, static_argnames=("kind", "transform_type"))
+def _apply_direct(x: jnp.ndarray, kind: str,
+                  transform_type: int) -> jnp.ndarray:
     from zaftpu.core.policy import real_matmul
 
+    # Trace-time constant (not a runtime argument): XLA owns the operator
+    # layout and folds it into the GEMM — the argument form measured ~18%
+    # slower on the raw (1024, 2048) batch GEMM (docs/perf.md round 4,
+    # "operator constants").
+    rdtype = np.float32 if x.dtype == jnp.float32 else np.float64
+    matrix = jnp.asarray(
+        _direct_matrix(kind, transform_type, x.shape[-1]).astype(rdtype))
     return real_matmul(x, matrix.astype(x.dtype))
 
 
@@ -89,15 +97,9 @@ def _direct_or_none(kind: str, transform_type: int, x: jnp.ndarray):
     """Apply the folded ``(N, N)`` operator when the direct engine covers
     this length (type-1 transforms need n >= 2 for their denominators,
     which ``direct_engine_enabled`` already guarantees)."""
-    from zaftpu.utils.devcache import pinned_device_constant
-
-    n = x.shape[-1]
-    if not _fft.direct_engine_enabled(n):
+    if not _fft.direct_engine_enabled(x.shape[-1]):
         return None
-    rdtype = np.float32 if x.dtype == jnp.float32 else np.float64
-    return _apply_direct(
-        x, pinned_device_constant(_direct_matrix(kind, transform_type, n),
-                                  rdtype))
+    return _apply_direct(x, kind, transform_type)
 
 
 def _rescale(y, factor: float):

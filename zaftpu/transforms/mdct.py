@@ -16,7 +16,7 @@ two-shifted-view sum from ``zaftpu.core.frame``.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -96,8 +96,7 @@ def _direct_forward_ops_padded(window_length: int):
 
 @zjit
 def _mdct_direct_core(audio_signal: jnp.ndarray,
-                      window_function: jnp.ndarray,
-                      matrix: jnp.ndarray) -> jnp.ndarray:
+                      window_function: jnp.ndarray) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import real_matmul
     from zaftpu.pallas import fused as _fused
@@ -108,11 +107,10 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
     t = int(np.ceil(n / step)) + 1
     padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
                      + [(step, (t + 1) * step - n)])
-    from zaftpu.core.policy import split4_enabled
-
-    # split4 excluded from auto-dispatch — the 4-pass kernel 500s the
-    # remote Mosaic at production grid lengths (see windowed_frames_rfft).
-    if (_pallas.enabled() and _pallas.fused_enabled() and not split4_enabled()
+    # split4 runs the fused kernel too since round 4 (the "Mosaic 500" was
+    # an XLA scoped-VMEM OOM, fixed at the zjit level — see
+    # windowed_frames_rfft / core/dispatch.py).
+    if (_pallas.enabled() and _pallas.fused_enabled()
             and padded.ndim == 1 and padded.dtype == jnp.float32
             and _fused.supported(wl, step, padded.dtype)):
         # Fused framing+window+GEMM: the (T, WL) frame matrix never
@@ -123,6 +121,13 @@ def _mdct_direct_core(audio_signal: jnp.ndarray,
                                   wl, step, t)
     else:
         frames = _pallas.windowed_frames(padded, window_function, wl, step, t)
+        # Trace-time constant: XLA owns the operator's layout and folds it
+        # into the GEMM. A runtime-argument operator measured 24-32%
+        # slower on the synthesis twin (docs/perf.md round 4, "operator
+        # constants") — same math, worse layout.
+        rdtype = (np.float32 if frames.dtype == jnp.float32
+                  else np.float64)
+        matrix = jnp.asarray(_direct_forward_matrix(wl).astype(rdtype))
         coeffs = real_matmul(frames, matrix.astype(frames.dtype))
     return jnp.swapaxes(coeffs, -1, -2)
 
@@ -158,13 +163,20 @@ def _imdct_ola(frames, f):
     return _pallas.overlap_add(frames, f)
 
 
-@zjit
-def _imdct_direct_core(audio_mdct: jnp.ndarray,
-                       matrix: jnp.ndarray) -> jnp.ndarray:
+@partial(zjit, static_argnames=("wbytes",))
+def _imdct_direct_core(audio_mdct: jnp.ndarray, wbytes) -> jnp.ndarray:
     from zaftpu.core.policy import real_matmul
 
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
+    # The window-folded (F, 2F) inverse operator as a TRACE-TIME CONSTANT
+    # (keyed by the static window bytes): XLA owns its layout and folds it
+    # into the GEMM. The round-3 runtime-argument form measured 3.77M vs
+    # 4.96M frames/s at 10-min scale — identical program, worse operand
+    # layout (docs/perf.md round 4, "operator constants").
+    rdtype = np.float32 if coeffs.dtype == jnp.float32 else np.float64
+    matrix = jnp.asarray(
+        _direct_inverse_windowed_matrix(f, wbytes).astype(rdtype))
     frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
     signal = _imdct_ola(frames, f)
     return signal[..., f:signal.shape[-1] - f - 1]
@@ -172,8 +184,7 @@ def _imdct_direct_core(audio_mdct: jnp.ndarray,
 
 @zjit
 def _imdct_direct_core_unfused(audio_mdct: jnp.ndarray,
-                               window_function: jnp.ndarray,
-                               matrix: jnp.ndarray) -> jnp.ndarray:
+                               window_function: jnp.ndarray) -> jnp.ndarray:
     """Traced/device-resident windows (jit or grad w.r.t. the window, or a
     window living on the device) cannot be folded into the host-built
     operator — keep the differentiable post-GEMM multiply for those."""
@@ -181,6 +192,8 @@ def _imdct_direct_core_unfused(audio_mdct: jnp.ndarray,
 
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)
+    rdtype = np.float32 if coeffs.dtype == jnp.float32 else np.float64
+    matrix = jnp.asarray(_direct_inverse_matrix(f).astype(rdtype))
     frames = real_matmul(coeffs, matrix.astype(coeffs.dtype))
     frames = frames * window_function.astype(frames.dtype)
     signal = _imdct_ola(frames, f)
@@ -259,10 +272,7 @@ def mdct(audio_signal, window_function=None, *, config=None):
         _validate.check_window(window_function, even=True))
     wl = window_function.shape[0]
     if _fft.direct_engine_enabled(wl):
-        rdtype = np.float32 if audio_signal.dtype == jnp.float32 else np.float64
-        return _mdct_direct_core(
-            audio_signal, window_function,
-            pinned_device_constant(_direct_forward_matrix(wl), rdtype))
+        return _mdct_direct_core(audio_signal, window_function)
     pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     return _mdct_core(audio_signal, window_function,
@@ -319,16 +329,11 @@ def imdct(audio_mdct, window_function=None, *, config=None):
             f"{2 * audio_mdct.shape[-2]}, got {wlen}")
     f = audio_mdct.shape[-2]
     if _fft.direct_engine_enabled(2 * f):
-        rdtype = np.float32 if audio_mdct.dtype == jnp.float32 else np.float64
         wbytes = _host_window_bytes(window_function)
         if wbytes is None:
             return _imdct_direct_core_unfused(
-                audio_mdct, as_device_constant(window_function),
-                pinned_device_constant(_direct_inverse_matrix(f), rdtype))
-        return _imdct_direct_core(
-            audio_mdct,
-            pinned_device_constant(
-                _direct_inverse_windowed_matrix(f, wbytes), rdtype))
+                audio_mdct, as_device_constant(window_function))
+        return _imdct_direct_core(audio_mdct, wbytes)
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     return _imdct_core(audio_mdct, as_device_constant(window_function),
