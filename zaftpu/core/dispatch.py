@@ -107,5 +107,7 @@ def _wants_scoped_vmem() -> bool:
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import split4_enabled
 
-    return (split4_enabled() and _pallas.enabled()
-            and _pallas.fused_enabled())
+    # Both split4 Pallas consumers need the budget: the fused analysis
+    # kernel (~19.7M scoped) and the slab-CQT kernel (~21.5M at block 512),
+    # which dispatches regardless of ZAFTPU_FUSED.
+    return split4_enabled() and _pallas.enabled()

@@ -716,7 +716,9 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
         extended = _pad_last(extended, 0,
                              max(0, needed - extended.shape[-1]))
         return _cqt._batched_1d(_cqt._blocked_matmul_impl)(
-            extended, m_real, m_imag, step_length, fft_length, t_local, b)
+            extended, m_real, m_imag, step_length, fft_length, t_local, b,
+            use_slab=_cqt._use_slab_kernel(extended.dtype, m_real.dtype,
+                                           on_tpu=_mesh_on_tpu(mesh)))
 
     out = jax.shard_map(
         local, mesh=mesh, in_specs=P(*batch, axis_name),
@@ -786,9 +788,14 @@ def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
     batch = _batch_spec(mesh, padded.ndim - 1)
 
     def local(mr, mi, sig):
+        # Same dispatch as the frame-sharded body: per-channel outputs are
+        # independent in the slab kernel, so the F-sharded (TP) slice
+        # stays value-identical to the single-device columns.
         return _cqt._batched_1d(_cqt._blocked_matmul_impl)(
             sig, mr, mi, step_length, fft_length, t_pad,
-            min(block_frames, t_pad))
+            min(block_frames, t_pad),
+            use_slab=_cqt._use_slab_kernel(sig.dtype, mr.dtype,
+                                           on_tpu=_mesh_on_tpu(mesh)))
 
     out = jax.shard_map(
         local, mesh=mesh,

@@ -296,7 +296,7 @@ def _blocked_needed(total_frames: int, step_length: int,
 
 
 def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
-                         number_times, block_frames):
+                         number_times, block_frames, use_slab=False):
     """Blocked fused time-domain CQT body (also reused inside shard_map).
 
     Frames are never materialized: the ``(fft_length, F)`` operator is
@@ -307,6 +307,21 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
     the gathered ``(B, fft_length)`` frame matrix is ~19x the signal's
     bytes; measured gather-bound on hardware: block-size and bf16 sweeps
     were flat, docs/tpu_results/cqt_tune.json)."""
+    if use_slab:
+        # Fused Pallas slab kernel (pallas/cqtslab.py): the signal segment
+        # stays VMEM-resident across all slab GEMMs and their precision
+        # passes. Dispatched under the split4 dial, where the in-kernel
+        # 4-pass scheme measures 1.18M vs 597k frames/s for this XLA slab
+        # loop (the f32 HIGHEST path is MXU-pass-bound and the kernel is a
+        # wash there — docs/perf.md round 4).
+        from zaftpu.pallas import cqtslab as _cqtslab
+
+        ops = _cqtslab.slab_ops_traced(m_real, m_imag, step_length,
+                                       fft_length, m_real.shape[-1])
+        return _cqtslab.magnitudes_in_trace(
+            padded, ops, step_length, fft_length, number_times,
+            m_real.shape[-1], block=512)
+
     blocks = -(-number_times // block_frames)
     n_slabs = -(-fft_length // step_length)
     bs = block_frames * step_length
@@ -350,11 +365,29 @@ def _cqt_apply_matmul(signal, m_real, m_imag, pads, step_length, fft_length,
     padded = _pad_last(signal, pads)
     out = _batched_1d(_blocked_matmul_impl)(
         padded, m_real, m_imag, step_length, fft_length, number_times,
-        block_frames)
+        block_frames, use_slab=_use_slab_kernel(padded.dtype, m_real.dtype))
     spec = jnp.swapaxes(out, -1, -2)                    # (..., F, T)
     if octave_resolution:
         return _octave_fold(spec, octave_resolution)
     return spec
+
+
+def _use_slab_kernel(sig_dtype, op_dtype, on_tpu=None) -> bool:
+    """Dispatch the fused Pallas slab kernel? Only under the split4 dial on
+    a real-TPU target with f32 signal and operator (the bf16 policy and the
+    HIGHEST default keep the XLA slab loop — the former halves traffic
+    already, the latter measured a wash; docs/perf.md round 4). Sharded
+    callers pass the MESH platform for ``on_tpu`` (the default backend lies
+    under the axon plugin — see sharded._mesh_on_tpu)."""
+    import jax
+
+    from zaftpu import pallas as _pallas
+
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    return (on_tpu and _policy.split4_enabled() and _pallas.enabled()
+            and jnp.dtype(sig_dtype) == jnp.float32
+            and jnp.dtype(op_dtype) == jnp.float32)
 
 
 def _octave_fold(spec, octave_resolution):
