@@ -30,7 +30,13 @@ import sys
 import numpy as np
 
 SR, WL, STEP = 44100, 2048, 1024
-SECS = int(os.environ.get("S13_SECONDS", "120"))
+# 600-s default since round 4: at 120 s the fastest transforms (MDCT: ~0.9
+# ms device time) are dominated by per-call wrapper/dispatch variance
+# (±0.5-1.2 ms between runs through the tunnel), which made the
+# sharded/plain ratio swing 0.37-0.86 for identical code. At 600 s device
+# time dominates and the ratios are stable run to run
+# (sharded_breakdown_600.json).
+SECS = int(os.environ.get("S13_SECONDS", "600"))
 
 
 def log(m):
