@@ -720,9 +720,11 @@ def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
             use_slab=_cqt._use_slab_kernel(extended.dtype, m_real.dtype,
                                            on_tpu=_mesh_on_tpu(mesh)))
 
+    # check_vma=False: the slab-kernel body's pallas_call out-shapes carry
+    # no varying-mesh-axes annotation (same rationale as _sharded_analysis).
     out = jax.shard_map(
         local, mesh=mesh, in_specs=P(*batch, axis_name),
-        out_specs=P(*batch, axis_name, None))(body)
+        out_specs=P(*batch, axis_name, None), check_vma=False)(body)
     spec = jnp.swapaxes(out, -1, -2)[..., :t]
     if octave_resolution:
         return _cqt._octave_fold(spec, octave_resolution)
@@ -800,7 +802,8 @@ def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
     out = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, axis_name), P(None, axis_name), P(*batch)),
-        out_specs=P(*batch, None, axis_name))(m_real, m_imag, padded)
+        out_specs=P(*batch, None, axis_name), check_vma=False)(
+        m_real, m_imag, padded)
     return jnp.swapaxes(out, -1, -2)
 
 
