@@ -522,15 +522,16 @@ def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
             frames = frames * window_function.astype(frames.dtype)
             return _policy.real_matmul(frames, matrix.astype(frames.dtype))
         from zaftpu import pallas as _pallas
-        from zaftpu.core.policy import split4_enabled
         from zaftpu.pallas import fused as _fused
         from zaftpu.transforms.mdct import _direct_forward_ops_padded
 
         # Same dispatch ladder as the single-device _mdct_direct_core:
         # fused framing+window+GEMM kernel when eligible (the frame matrix
         # never touches HBM), else Pallas/XLA framing + the folded GEMM.
+        # split4 included since round 4 (scoped-VMEM fix, core/dispatch.py)
+        # so sharded values track the single-device dispatch exactly.
         if (_pallas.enabled() and _pallas.fused_enabled()
-                and not split4_enabled() and extended.ndim == 1
+                and extended.ndim == 1
                 and extended.dtype == jnp.float32
                 and _fused.supported(wl, step, extended.dtype)):
             return _fused.frames_op(extended, window_function,
