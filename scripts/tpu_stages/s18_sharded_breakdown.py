@@ -170,10 +170,6 @@ def main():
     t_pad_m, body_len_m = _sh._plan_body(n, step_m, WL, step_m, t_m, 1)
     x_body_m = _sh._prepad_tail(x, body_len_m - step_m)
     x_body_m.block_until_ready()
-    from zaftpu.transforms.mdct import _direct_forward_matrix
-    from zaftpu.utils.devcache import pinned_device_constant
-
-    mat = pinned_device_constant(_direct_forward_matrix(WL), np.float32)
     pads_m = (step_m, body_len_m, t_pad_m)
     log(f"mdct: t={t_m} t_pad={t_pad_m}")
 
@@ -183,10 +179,10 @@ def main():
         frames=t_m)
     run("mdct", "core",
         lambda s: _sh._mdct_full_sharded_direct(
-            s, as_device_constant(tdac), mat, mesh, axis, pads_m),
+            s, as_device_constant(tdac), mesh, axis, pads_m),
         x_body_m, frames=t_m)
     core_m = _sh._mdct_full_sharded_direct(
-        x_body_m, as_device_constant(tdac), mat, mesh, axis, pads_m)
+        x_body_m, as_device_constant(tdac), mesh, axis, pads_m)
     core_m.block_until_ready()
     run("mdct", "finish", lambda o: _sh._transpose_slice(o, t_m), core_m,
         frames=t_m)

@@ -504,23 +504,31 @@ def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
-def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
+def _mdct_full_sharded_direct(audio_signal, window_function, mesh,
                               axis_name, pads):
     """Direct-GEMM sharded MDCT: same folded (WL, WL/2) operator as the
     single-device path, so the value-identity contract holds under
     ``ZAFTPU_FFT=matmul`` too. FRAMES-MAJOR output ``(..., t_pad, WL/2)``
-    — the wrapper's :func:`_transpose_slice` fuses transpose + slice."""
+    — the wrapper's :func:`_transpose_slice` fuses transpose + slice. The
+    operator enters as a trace-time constant (docs/perf.md round 4,
+    "operator constants" — the argument form pays a per-call relayout)."""
     pad_front, body_len, _ = pads
     wl = window_function.shape[0]
     step = wl // 2
     n = audio_signal.shape[-1]
     body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
+    rdtype = (np.float32 if audio_signal.dtype == jnp.float32
+              else np.float64)
+
+    def matrix():
+        return jnp.asarray(_direct_forward_matrix(wl).astype(rdtype))
 
     def block_fn(extended, t_local):
         if not _mesh_on_tpu(mesh):
             frames = _frame.extract_frames(extended, wl, step, t_local)
             frames = frames * window_function.astype(frames.dtype)
-            return _policy.real_matmul(frames, matrix.astype(frames.dtype))
+            return _policy.real_matmul(frames,
+                                       matrix().astype(frames.dtype))
         from zaftpu import pallas as _pallas
         from zaftpu.pallas import fused as _fused
         from zaftpu.transforms.mdct import _direct_forward_ops_padded
@@ -539,7 +547,7 @@ def _mdct_full_sharded_direct(audio_signal, window_function, matrix, mesh,
                                     wl, step, t_local)
         frames = _pallas.windowed_frames(extended, window_function, wl,
                                          step, t_local)
-        return _policy.real_matmul(frames, matrix.astype(frames.dtype))
+        return _policy.real_matmul(frames, matrix().astype(frames.dtype))
 
     return _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
 
@@ -580,16 +588,12 @@ def mdct_sharded(audio_signal, window_function, mesh,
     n = audio_signal.shape[-1]
     t = int(np.ceil(n / step)) + 1
     t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
-    from zaftpu.utils.devcache import (as_device_constant, device_constant,
-                                       pinned_device_constant)
+    from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_signal = _prepad_tail(audio_signal, body_len - step)
     if _fft.direct_engine_enabled(wl):
-        rdtype = (np.float32 if audio_signal.dtype == jnp.float32
-                  else np.float64)
         out = _mdct_full_sharded_direct(
             audio_signal, as_device_constant(window_function),
-            pinned_device_constant(_direct_forward_matrix(wl), rdtype),
             mesh, axis_name, (step, body_len, t_pad))
         return _transpose_slice(out, t)
     pre, post = _forward_twiddles(wl)
@@ -628,23 +632,30 @@ def _imdct_core_sharded(coeffs, window_function, pre, post, mesh,
     return body[..., f:]
 
 
-@partial(zjit, static_argnames=("mesh", "axis_name"))
-def _imdct_core_sharded_direct(coeffs, matrix, mesh, axis_name):
+@partial(zjit, static_argnames=("wbytes", "mesh", "axis_name"))
+def _imdct_core_sharded_direct(coeffs, wbytes, mesh, axis_name):
     """Direct-GEMM sharded inverse MDCT: the window-folded (F, 2F) operator
     of the single-device path (pre/FFT/post/2*Re/window fused), so values
-    stay identical under ``ZAFTPU_FFT=matmul``. FRAMES-MAJOR input."""
+    stay identical under ``ZAFTPU_FFT=matmul``. FRAMES-MAJOR input; the
+    operator is a trace-time constant keyed by the static window bytes
+    (the argument form pays a per-call relayout — docs/perf.md round 4)."""
     f = coeffs.shape[-1]
+    rdtype = np.float32 if coeffs.dtype == jnp.float32 else np.float64
+    matrix = jnp.asarray(
+        _direct_inverse_windowed_matrix(f, wbytes).astype(rdtype))
     frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
     return body[..., f:]
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))
-def _imdct_core_sharded_direct_unfused(coeffs, window_function, matrix,
-                                       mesh, axis_name):
+def _imdct_core_sharded_direct_unfused(coeffs, window_function, mesh,
+                                       axis_name):
     """Traced/device-resident window twin — post-GEMM multiply, matching
     :func:`zaftpu.transforms.mdct._imdct_direct_core_unfused`."""
     f = coeffs.shape[-1]
+    rdtype = np.float32 if coeffs.dtype == jnp.float32 else np.float64
+    matrix = jnp.asarray(_direct_inverse_matrix(f).astype(rdtype))
     frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
     frames = frames * window_function.astype(frames.dtype)
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
@@ -660,25 +671,18 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     f, t = audio_mdct.shape[-2], audio_mdct.shape[-1]
     n_shards = mesh.shape[axis_name]
     t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
-    from zaftpu.utils.devcache import (as_device_constant, device_constant,
-                                       pinned_device_constant)
+    from zaftpu.utils.devcache import as_device_constant, device_constant
 
     padded = _imdct_prep(audio_mdct, t_pad)
     if _fft.direct_engine_enabled(2 * f):
-        rdtype = (np.float32 if audio_mdct.dtype == jnp.float32
-                  else np.float64)
         wbytes = _host_window_bytes(window_function)
         if wbytes is None:
             out = _imdct_core_sharded_direct_unfused(
-                padded, as_device_constant(window_function),
-                pinned_device_constant(_direct_inverse_matrix(f), rdtype),
-                mesh, axis_name)
+                padded, as_device_constant(window_function), mesh,
+                axis_name)
         else:
-            out = _imdct_core_sharded_direct(
-                padded,
-                pinned_device_constant(
-                    _direct_inverse_windowed_matrix(f, wbytes), rdtype),
-                mesh, axis_name)
+            out = _imdct_core_sharded_direct(padded, wbytes, mesh,
+                                             axis_name)
         return out[..., :f * t - f - 1]
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128

@@ -139,8 +139,8 @@ def _direct_inverse_windowed_matrix(number_frequencies: int,
     columns: ``(coeffs @ M) * win == coeffs @ (M * win)``, so the separate
     post-GEMM elementwise pass over the ``(T, 2F)`` frame matrix (and its
     fusion barrier before the Pallas OLA custom call) disappears. float64
-    host math; keyed by window content so the lru identity is stable for
-    ``pinned_device_constant``."""
+    host math; keyed by window content so the lru identity is stable and
+    the static ``wbytes`` jit key maps 1:1 to the operator."""
     win = np.frombuffer(window_bytes, dtype=np.float64)
     return _direct_inverse_matrix(number_frequencies) * win[None, :]
 
@@ -262,8 +262,7 @@ def mdct(audio_signal, window_function=None, *, config=None):
         ``number_times = ceil(N/(WL/2)) + 1`` — reference zaf.py:984-1075
         semantics.
     """
-    from zaftpu.utils.devcache import (as_device_constant, device_constant,
-                                       pinned_device_constant)
+    from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_signal = _validate.check_signal(jnp.asarray(audio_signal))
     window_function = _resolve_mdct_window(window_function, config,
@@ -311,8 +310,7 @@ def imdct(audio_mdct, window_function=None, *, config=None):
         zaf.py:1078-1184 semantics (perfect reconstruction up to rounding for
         TDAC windows).
     """
-    from zaftpu.utils.devcache import (as_device_constant, device_constant,
-                                       pinned_device_constant)
+    from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_mdct = jnp.asarray(audio_mdct)
     if audio_mdct.ndim < 2:
