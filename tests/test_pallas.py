@@ -39,7 +39,13 @@ def test_frame_window_supported():
 
 
 @pytest.mark.parametrize("wl,step,t", [(2048, 1024, 37), (512, 256, 300),
-                                       (1024, 128, 40)])
+                                       (1024, 128, 40),
+                                       # edge-plan coverage for the no-pad
+                                       # kernel: t one past a block edge
+                                       # (two crossing tail steps), and t
+                                       # just under one (single-step grid)
+                                       (512, 256, 257), (2048, 1024, 255),
+                                       (1024, 128, 509)])
 def test_overlap_add_matches_xla(wl, step, t):
     rng = np.random.default_rng(1)
     frames = rng.standard_normal((t, wl)).astype(np.float32)

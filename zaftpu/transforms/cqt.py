@@ -38,6 +38,7 @@ import numpy as np
 from zaftpu.core.dispatch import zjit
 from zaftpu.core import policy as _policy
 from zaftpu.core import windows as _windows
+from zaftpu.pallas import guarded as _pallas_guarded
 
 
 @dataclasses.dataclass(frozen=True)
@@ -419,6 +420,7 @@ def _resolve_cqt_args(sampling_frequency, time_resolution, cqt_kernel,
     return sampling_frequency, time_resolution, cqt_kernel
 
 
+@_pallas_guarded
 def cqtspectrogram(audio_signal, sampling_frequency=None,
                    time_resolution=None, cqt_kernel=None, *, config=None):
     """Magnitude CQT spectrogram ``(number_frequencies, number_times)``.
@@ -533,6 +535,7 @@ def _cqt_dispatch(audio_signal, kern, step, number_times, fft_length,
         octave_resolution)
 
 
+@_pallas_guarded
 def cqtchromagram(audio_signal, sampling_frequency=None, time_resolution=None,
                   octave_resolution=None, cqt_kernel=None, *, config=None):
     """CQT chromagram ``(octave_resolution, number_times)``.
