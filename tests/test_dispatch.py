@@ -146,9 +146,11 @@ def test_zjit_preserves_signature_statics(x32, win32):
 
 
 def test_scoped_vmem_twin_selection(monkeypatch):
-    """The raised-scoped-VMEM jit twin engages exactly for the split4 fused
-    dispatch on TPU, and never under an outer trace (compiler_options are
-    illegal on nested jits)."""
+    """The raised-scoped-VMEM predicate tracks the split4 fused dispatch
+    config; the wrapper gates it on backend and records the decision in
+    budget_raised(), which stays False under an outer user trace
+    (compiler_options are illegal on nested jits — ADVICE round 4 medium:
+    kernels must degrade there instead of OOMing the default budget)."""
     import jax
 
     from zaftpu.core import dispatch as disp
@@ -156,17 +158,59 @@ def test_scoped_vmem_twin_selection(monkeypatch):
     monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
     monkeypatch.setenv("ZAFTPU_PALLAS", "1")
     monkeypatch.setenv("ZAFTPU_FUSED", "1")
-    on_tpu = jax.default_backend() == "tpu"
-    assert disp._wants_scoped_vmem() == on_tpu
+    assert disp._wants_scoped_vmem() is True
 
     seen = []
 
-    def probe(_):
-        seen.append(disp._wants_scoped_vmem())
-        return jax.numpy.zeros(())
+    @disp.zjit
+    def body(x):
+        seen.append(disp.budget_raised())
+        return x * 2
 
-    jax.jit(probe)(jax.numpy.zeros(()))  # traced under an outer jit
+    body(jax.numpy.zeros(()))
+    # On TPU the wrapper engages the vmem twin and raises the budget; on
+    # CPU there is no scoped stack and the plain twin runs.
+    on_tpu = jax.default_backend() == "tpu"
+    assert seen == [on_tpu]
+
+    seen.clear()
+
+    def outer(x):
+        return body(x)  # zjit nested under a user jit: plain twin inlines
+
+    # Fresh shape so the nested call retraces instead of hitting the cache.
+    jax.jit(outer)(jax.numpy.zeros((2,)))
     assert seen == [False]
 
     monkeypatch.setenv("ZAFTPU_PRECISION", "highest")
     assert disp._wants_scoped_vmem() is False
+
+
+def test_budget_degradations_off_budget(monkeypatch):
+    """Budget-hungry kernel dispatches fall back when the budget is not
+    raised: the split4 fused analysis kernel is skipped and the slab-CQT
+    block drops to 256 — but only on a real TPU backend (interpret-mode
+    runs have no scoped-VMEM stack)."""
+    import jax
+
+    from zaftpu.core import dispatch as disp
+    from zaftpu.pallas import cqtslab as pcqtslab
+    from zaftpu.pallas import fused as pfused
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    on_tpu = jax.default_backend() == "tpu"
+    assert disp.budget_raised() is False
+    if on_tpu:
+        assert pfused.budget_ok() is False
+        assert pcqtslab.block_for_budget() == 256
+    else:
+        assert pfused.budget_ok() is True
+        assert pcqtslab.block_for_budget() == pcqtslab.BLOCK_FRAMES
+
+    token = disp._BUDGET_RAISED.set(True)
+    try:
+        assert pfused.budget_ok() is True
+        assert pcqtslab.block_for_budget() == pcqtslab.BLOCK_FRAMES
+    finally:
+        disp._BUDGET_RAISED.reset(token)

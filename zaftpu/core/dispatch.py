@@ -19,10 +19,32 @@ pays two compiles total, not one per flip.
 the same Python function share their underlying trace cache, so keying a
 table of jit instances on the snapshot does NOT isolate traces — measured
 here before this design was adopted.)
+
+Scoped-VMEM budget twin
+-----------------------
+Some Pallas kernels make XLA's layout assignment stage buffers in scoped
+VMEM beyond the default 16 MiB (the split4 fused analysis kernel at a
+window of grid lengths — docs/tpu_results/split4_grid.json; the slab-CQT
+kernel at block 512 ~21.5M; the fused synthesis kernel's two-component
+operator ~21M). ``compiler_options`` are only legal on a TOP-LEVEL jit, so
+every zjit carries a twin compiled with a raised budget and the wrapper
+picks per call. Which calls need it is a per-site property: zjit accepts a
+``scoped_vmem`` predicate (evaluated at call time, config-only) so only the
+transforms that can actually contain a budget-hungry kernel pay the twin's
+extra compile cache (ADVICE round 4, low #4).
+
+Inside a USER's outer ``jax.jit`` the twin cannot engage (nested
+compiler_options are forbidden; the plain twin inlines). The wrapper
+records whether the budget is raised in a context variable —
+:func:`budget_raised` — and the kernel dispatch sites consult it to degrade
+gracefully (skip the split4 fused kernel, drop the slab block to 256)
+instead of compiling a program that OOMs the default scoped budget outside
+the guarded() wrapper's reach (ADVICE round 4, medium).
 """
 
 from __future__ import annotations
 
+import contextvars
 import functools
 import inspect
 
@@ -30,8 +52,25 @@ import jax
 
 from zaftpu.config import DispatchConfig
 
+# Scoped-VMEM budget for the raised twin. 32 MiB covers every measured
+# consumer (split4 fused analysis ~19.7M, slab-CQT block 512 ~21.5M, fused
+# synthesis two-component operator ~21M) — same value the slab-CQT twin has
+# run on this hardware since round 4.
+_VMEM_LIMIT_KIB = "32768"
 
-def zjit(fn=None, *, static_argnames=()):
+_BUDGET_RAISED = contextvars.ContextVar("zaftpu_vmem_budget", default=False)
+
+
+def budget_raised() -> bool:
+    """Is the current (or enclosing) top-level jit the raised-scoped-VMEM
+    twin? Kernel dispatch sites whose programs exceed the default 16 MiB
+    scoped budget must check this at trace time and fall back to a
+    smaller-footprint formulation when False (a user's outer jax.jit
+    inlines the plain twin — the budget bump cannot apply there)."""
+    return _BUDGET_RAISED.get()
+
+
+def zjit(fn=None, *, static_argnames=(), scoped_vmem=None):
     """``jax.jit`` whose trace cache is additionally keyed on the current
     :class:`~zaftpu.config.DispatchConfig` snapshot.
 
@@ -39,9 +78,15 @@ def zjit(fn=None, *, static_argnames=()):
     every jit boundary whose trace consults a ``ZAFTPU_*`` flag (directly or
     through :mod:`zaftpu.core.fft` / :mod:`zaftpu.core.policy` /
     :mod:`zaftpu.pallas`).
+
+    ``scoped_vmem``: optional zero-arg predicate — True when this call's
+    trace may contain a kernel needing the raised scoped-VMEM budget
+    (evaluated only when a top-level jit is possible). Defaults to
+    :func:`_wants_scoped_vmem` (the split4 Pallas consumers).
     """
     if fn is None:
-        return functools.partial(zjit, static_argnames=static_argnames)
+        return functools.partial(zjit, static_argnames=static_argnames,
+                                 scoped_vmem=scoped_vmem)
 
     def shim(*args, _dispatch=None, **kwargs):
         return fn(*args, **kwargs)
@@ -77,37 +122,45 @@ def zjit(fn=None, *, static_argnames=()):
     # not on the inner pallas jit.
     jitted_vmem = jax.jit(
         shim_vmem, static_argnames=statics,
-        compiler_options={"xla_tpu_scoped_vmem_limit_kib": "24576"})
+        compiler_options={"xla_tpu_scoped_vmem_limit_kib": _VMEM_LIMIT_KIB})
+
+    wants = scoped_vmem if scoped_vmem is not None else _wants_scoped_vmem
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        j = jitted_vmem if _wants_scoped_vmem() else jitted
-        return j(*args, _dispatch=DispatchConfig.current(), **kwargs)
+        from zaftpu.utils.devcache import _tracing_active
 
-    wrapper._zjit = jitted  # test/introspection hook
-    wrapper._cache_size = jitted._cache_size  # jax.jit API passthrough
+        snapshot = DispatchConfig.current()
+        if _tracing_active():
+            # Nested in an outer trace (ours or a user's): the plain twin
+            # inlines and the enclosing budget state — set by OUR outer
+            # wrapper, or False under a user jit — stays authoritative.
+            # Do not touch the context variable.
+            return jitted(*args, _dispatch=snapshot, **kwargs)
+        use_vmem = jax.default_backend() == "tpu" and bool(wants())
+        j = jitted_vmem if use_vmem else jitted
+        token = _BUDGET_RAISED.set(use_vmem)
+        try:
+            return j(*args, _dispatch=snapshot, **kwargs)
+        finally:
+            _BUDGET_RAISED.reset(token)
+
+    wrapper._zjit = jitted            # test/introspection hooks
+    wrapper._zjit_vmem = jitted_vmem
+    # Sum BOTH twins: under split4+Pallas on TPU the executing jit is the
+    # vmem twin, and retrace gates reading one cache alone would measure
+    # the wrong one (ADVICE round 4, low #3).
+    wrapper._cache_size = (
+        lambda: jitted._cache_size() + jitted_vmem._cache_size())
     return wrapper
 
 
 def _wants_scoped_vmem() -> bool:
-    """Route this call through the raised-scoped-VMEM jit twin?
-
-    True exactly when the split4 fused kernel can enter the trace (the one
-    construct measured to overflow XLA's default 16 MiB scoped-VMEM stack)
-    AND this call is the top-level jit — under an outer trace the nested
-    jit inlines and JAX forbids compiler_options on it; the outer program
-    then simply lacks the bump, and a scoped-VMEM OOM there is caught by
-    the guarded Pallas fallback."""
-    from zaftpu.utils.devcache import _tracing_active
-
-    if _tracing_active():
-        return False
-    if jax.default_backend() != "tpu":
-        return False
+    """Default twin predicate: the split4 Pallas consumers (the fused
+    analysis kernel ~19.7M scoped; the slab-CQT kernel, which dispatches
+    regardless of ZAFTPU_FUSED). Only consulted for a top-level jit — the
+    wrapper handles the nested-trace case."""
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import split4_enabled
 
-    # Both split4 Pallas consumers need the budget: the fused analysis
-    # kernel (~19.7M scoped) and the slab-CQT kernel (~21.5M at block 512),
-    # which dispatches regardless of ZAFTPU_FUSED.
     return split4_enabled() and _pallas.enabled()

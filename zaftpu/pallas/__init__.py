@@ -149,14 +149,19 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     # production grid lengths" that forced the round-3 exclusion was an
     # XLA scoped-VMEM layout OOM in a window of t_pad sizes, not a Mosaic
     # construct — fixed by the raised per-compile scoped-vmem budget in
-    # fused._frames_matmul_tpu (root cause + walk in
+    # core/dispatch.zjit's twin (root cause + walk in
     # docs/tpu_results/split4_grid.json; hardware-verified at t=8192/
     # 12800/25841, relerr <= 3.0e-6, 2.18M frames/s half-spectrum at 10-min
-    # scale).
+    # scale). Under a USER's outer jit the budget bump cannot apply
+    # (nested compiler_options are forbidden) and the split4 kernel would
+    # OOM the default scoped stack at those grid lengths OUTSIDE the
+    # guarded() wrapper's reach — skip it there (ADVICE round 4, medium;
+    # the non-split4 kernel fits the default budget, proven round 3).
     if (enabled() and fused_enabled()
             and padded.ndim == 1
             and _fft.direct_engine_enabled(window_length)
-            and _fused.supported(window_length, step, padded.dtype)):
+            and _fused.supported(window_length, step, padded.dtype)
+            and _fused.budget_ok()):
         return _fused.frames_rfft(padded, window, window_length, step,
                                   number_times)
     frames = windowed_frames(padded, window, window_length, step,

@@ -50,7 +50,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_FRAMES = 512  # frames per grid step (the dbuf kernel needs ~21.5M
                     # scoped VMEM at 512 — granted by the raised-budget
-                    # jit twin below; drop to 256 under the default budget)
+                    # jit twin; block_for_budget() drops to 256 when the
+                    # budget cannot be raised, e.g. under a user's outer jit)
+
+
+def block_for_budget() -> int:
+    """Grid block for the current scoped-VMEM budget: 512 when the
+    raised-budget dispatch twin is active (or off-TPU, where no scoped
+    stack exists), else 256 — which fits the default 16 MiB budget, so a
+    slab-CQT inlined into a user's outer ``jax.jit`` (where nested
+    compiler_options are forbidden) still compiles (ADVICE round 4,
+    medium/low)."""
+    import jax
+
+    from zaftpu.core.dispatch import budget_raised
+
+    if jax.default_backend() != "tpu" or budget_raised():
+        return BLOCK_FRAMES
+    return 256
 
 
 def _f_pad(f: int) -> int:
@@ -114,12 +131,25 @@ def _slab_ops_host_split(kern_key, n_slabs: int, step: int, f_pad: int):
 
 
 _REGISTRY: dict = {}
+_REGISTRY_LIMIT = 8  # FIFO bound: registering pins ~37 MB of host operator
+                     # per kernel; evicting also invalidates the lru-cached
+                     # slab builders keyed on the evicted key (test/probe
+                     # surface only — production CQT uses slab_ops_traced)
 
 
 def register_kernel(kern_key, m_real: np.ndarray, m_imag: np.ndarray):
     """Make the (fft_length, F) float operator planes addressable by a
     hashable key so the lru-cached slab builder (and the device-constant
-    pinning keyed on it) stays identity-stable."""
+    pinning keyed on it) stays identity-stable. FIFO-bounded at
+    :data:`_REGISTRY_LIMIT` entries (ADVICE round 4, low #5)."""
+    while len(_REGISTRY) >= _REGISTRY_LIMIT:
+        stale = next(iter(_REGISTRY))
+        if stale == kern_key:
+            _REGISTRY.pop(stale)
+            continue
+        _REGISTRY.pop(stale)
+        _slab_ops_host.cache_clear()
+        _slab_ops_host_split.cache_clear()
     _REGISTRY[kern_key] = (np.asarray(m_real, np.float32),
                            np.asarray(m_imag, np.float32))
 
@@ -331,9 +361,11 @@ def cqt_magnitudes(padded, kern_key, step_length: int, fft_length: int,
     # needs ~21.5M of scoped stack vs the 16M default — same XLA layout
     # behavior as the split4 fused kernel, see core/dispatch.py). Under an
     # outer trace compiler_options are illegal; the plain twin inlines
-    # there and small blocks still fit.
+    # there and the block drops to 256, which fits the default budget.
     use_vmem = (jax.default_backend() == "tpu" and not _tracing_active()
                 and not interpret)
+    if not use_vmem and jax.default_backend() == "tpu":
+        block = min(block, 256)
     fn = _cqt_jit_vmem if use_vmem else _cqt_jit_plain
     return fn(padded, ops, step_length, fft_length, number_times,
               f_channels, block, interpret)

@@ -55,6 +55,20 @@ def supported(window_length: int, step: int, dtype) -> bool:
             and dtype == jnp.float32)
 
 
+def budget_ok() -> bool:
+    """Can this trace's scoped-VMEM needs be met? The split4 variant OOMs
+    the default 16 MiB scoped stack at a window of grid lengths
+    (docs/tpu_results/split4_grid.json) and therefore requires the raised
+    budget of the dispatch twin; the exact-path variant fits the default
+    budget (hardware-proven round 3)."""
+    from zaftpu.core.dispatch import budget_raised
+    from zaftpu.core.policy import split4_enabled
+
+    if jax.default_backend() != "tpu":
+        return True  # interpret-mode runs have no scoped-VMEM stack
+    return budget_raised() or not split4_enabled()
+
+
 def _f_pad(f: int) -> int:
     """Pad the operator column count to the 128-lane tiling."""
     return -(-f // 128) * 128

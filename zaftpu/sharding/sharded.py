@@ -541,7 +541,8 @@ def _mdct_full_sharded_direct(audio_signal, window_function, mesh,
         if (_pallas.enabled() and _pallas.fused_enabled()
                 and extended.ndim == 1
                 and extended.dtype == jnp.float32
-                and _fused.supported(wl, step, extended.dtype)):
+                and _fused.supported(wl, step, extended.dtype)
+                and _fused.budget_ok()):
             return _fused.frames_op(extended, window_function,
                                     _direct_forward_ops_padded, step,
                                     wl, step, t_local)

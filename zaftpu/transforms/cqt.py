@@ -321,7 +321,7 @@ def _blocked_matmul_impl(padded, m_real, m_imag, step_length, fft_length,
                                        fft_length, m_real.shape[-1])
         return _cqtslab.magnitudes_in_trace(
             padded, ops, step_length, fft_length, number_times,
-            m_real.shape[-1], block=512)
+            m_real.shape[-1], block=_cqtslab.block_for_budget())
 
     blocks = -(-number_times // block_frames)
     n_slabs = -(-fft_length // step_length)
