@@ -36,8 +36,13 @@ def mesh():
 
 
 def test_one_trace_serves_many_lengths(mesh, monkeypatch):
-    """The jitted sharded STFT core must compile once per bucket, not once
-    per signal length."""
+    """In split mode (ZAFTPU_SHARDED_FUSE=0 — the many-length sweep
+    configuration) the jitted sharded STFT core must compile once per
+    bucket, not once per signal length. The default fused mode instead
+    trades per-length retraces for single-program throughput (VERDICT
+    round 4 item 1); its correctness across lengths is gated below and in
+    tests/test_sharding.py."""
+    monkeypatch.setenv("ZAFTPU_SHARDED_FUSE", "0")
     monkeypatch.setenv("ZAFTPU_BUCKET_FRAMES", "64")
     win = hamming(WL).astype(np.float32)
     rng = np.random.default_rng(0)
@@ -51,9 +56,12 @@ def test_one_trace_serves_many_lengths(mesh, monkeypatch):
     assert after - before == 1, f"expected 1 new trace, got {after - before}"
 
 
-def test_bucketed_stft_matches_unsharded(mesh, monkeypatch):
+@pytest.mark.parametrize("fuse", ["auto", "0"])
+def test_bucketed_stft_matches_unsharded(mesh, monkeypatch, fuse):
     """Correctness at awkward lengths under a large quantum: bucketing must
-    change shapes only, never values."""
+    change shapes only, never values — in BOTH sharded program structures
+    (fused single-program default and split bucketed-core mode)."""
+    monkeypatch.setenv("ZAFTPU_SHARDED_FUSE", fuse)
     monkeypatch.setenv("ZAFTPU_BUCKET_FRAMES", "128")
     win = hamming(WL)
     rng = np.random.default_rng(1)

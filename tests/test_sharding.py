@@ -225,10 +225,13 @@ def test_cqt_tp_f64(signal, mesh):
     np.testing.assert_allclose(out, ref, atol=1e-10)
 
 
-def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch):
+@pytest.mark.parametrize("fuse", ["auto", "0"])
+def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch, fuse):
     """Under ZAFTPU_FFT=matmul the sharded MDCT/IMDCT must dispatch to the
     same folded (WL, WL/2)/(F, 2F) GEMM operators as the single-device
-    direct path and stay value-identical to it (zaf.py:984-1075 chain)."""
+    direct path and stay value-identical to it (zaf.py:984-1075 chain) —
+    in both the fused single-program mode and the split bucketed mode."""
+    monkeypatch.setenv("ZAFTPU_SHARDED_FUSE", fuse)
     monkeypatch.setenv("ZAFTPU_FFT", "matmul")
     win = vorbis(WL)
     ref = np.asarray(zaftpu.mdct(signal, win))
@@ -242,13 +245,17 @@ def test_mdct_sharded_direct_engine(signal, mesh, monkeypatch):
     assert snr_db(signal, rec) > 250.0
 
 
-def test_istft_sharded_direct_engine(signal, window, mesh, monkeypatch):
-    """Under ZAFTPU_FFT=matmul the sharded ISTFT runs the round-4 split
-    path — ``_istft_prep`` (transpose + Hermitian fold + frame pad in one
-    pass) feeding the bucketed folded-GEMM core — and must stay
-    value-identical to the single-device engine synthesis (zaf.py:144-243;
-    the CPU suite otherwise never exercises this path because the engine is
-    TPU-auto)."""
+@pytest.mark.parametrize("fuse", ["auto", "0"])
+def test_istft_sharded_direct_engine(signal, window, mesh, monkeypatch,
+                                     fuse):
+    """Under ZAFTPU_FFT=matmul the sharded ISTFT runs the engine synthesis
+    (prep: transpose + Hermitian fold + frame pad, feeding the folded-GEMM
+    core) — as ONE fused program by default, or as the split
+    prep-then-bucketed-core pair under ZAFTPU_SHARDED_FUSE=0 — and must
+    stay value-identical to the single-device engine synthesis
+    (zaf.py:144-243; the CPU suite otherwise never exercises this path
+    because the engine is TPU-auto)."""
+    monkeypatch.setenv("ZAFTPU_SHARDED_FUSE", fuse)
     monkeypatch.setenv("ZAFTPU_FFT", "matmul")
     spec = np.asarray(zaftpu.stft(signal, window, STEP))
     ref = np.asarray(zaftpu.istft(spec, window, STEP))

@@ -60,6 +60,25 @@ def _pad_last(x, pad_front: int, pad_back: int):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_front, pad_back)])
 
 
+def _fuse_enabled() -> bool:
+    """Single-program sharded transforms (``ZAFTPU_SHARDED_FUSE``, default
+    on; ``0`` restores the split bucketed-core/finish structure).
+
+    The split structure compiles the expensive body once per length bucket
+    but pays a second full pass over the output (the finish/prep program)
+    plus an extra dispatch — measured 0.84-0.89x the single-device
+    throughput on a 1-device mesh (docs/tpu_results/sharded_tpu.json round
+    4; attribution in sharded_breakdown_600.json). The fused mode traces
+    prep + sharded body + finish as ONE program keyed additionally on the
+    true frame count, so XLA fuses the finish into the body's epilogue the
+    same way the single-device transforms do — at the cost of one retrace
+    per distinct signal length (exactly the single-device transforms'
+    retrace behavior). Many-length sweeps that prefer trace sharing set
+    ``ZAFTPU_SHARDED_FUSE=0``; both modes run the identical body function,
+    so values are bit-identical (gated in tests/test_sharding.py)."""
+    return os.environ.get("ZAFTPU_SHARDED_FUSE", "auto") != "0"
+
+
 def _bucket_quantum() -> int:
     """Frames-per-shard bucketing quantum (``ZAFTPU_BUCKET_FRAMES``, default
     128; ``0`` disables). Signal lengths are padded up so ``t_pad`` lands on
@@ -212,22 +231,12 @@ def _stft_half_sharded(audio_signal, window_function, step_length, mesh,
                              axis_name)
 
 
-@partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads", "magnitude"))
-def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
-                       axis_name, pads, magnitude):
-    """Sharded STFT body (bucketed): frames-major half spectrum as (re, im)
-    f32/f64 planes, or the magnitude ``(t_pad, WL/2)`` when ``magnitude``.
-
-    This trace serves every signal length in a bucket (the wrapper pre-pads
-    the input to the bucket shape). The mirror/transpose/true-length slice
-    happen in :func:`_stft_finish` — a separate small jitted program keyed
-    on the true frame count — so the full-spectrum output is written
-    exactly ONCE at its true size. Round 3 instead returned the full
-    ``t_pad``-wide bins-major complex and sliced eagerly, which cost a
-    whole extra pass at the c64 relayout rate (the dominant share of the
-    0.72x sharded/plain STFT ratio, docs/tpu_results/sharded_tpu.json;
-    attribution in sharded_breakdown.json)."""
+def _stft_body(audio_signal, window_function, step_length, mesh,
+               axis_name, pads, magnitude):
+    """Sharded STFT body: frames-major half spectrum as (re, im) f32/f64
+    planes, or the magnitude ``(t_pad, WL/2)`` when ``magnitude``. Shared
+    verbatim by the fused single-program mode and the split bucketed mode
+    (:func:`_fuse_enabled`), so the two are bit-identical."""
     half = _stft_half_sharded(audio_signal, window_function, step_length,
                               mesh, axis_name, pads)
     if magnitude:
@@ -237,8 +246,38 @@ def _stft_full_sharded(audio_signal, window_function, step_length, mesh,
     return jnp.real(half), jnp.imag(half)
 
 
-@partial(zjit, static_argnames=("number_times",))
-def _transpose_slice(frames_major, number_times):
+# Split-mode body (bucketed): this trace serves every signal length in a
+# bucket (the wrapper pre-pads the input to the bucket shape); the
+# mirror/transpose/true-length slice happen in :func:`_stft_finish`, a
+# separate small jitted program keyed on the true frame count. Round 3
+# instead returned the full ``t_pad``-wide bins-major complex and sliced
+# eagerly — a whole extra pass at the c64 relayout rate (attribution in
+# docs/tpu_results/sharded_breakdown.json).
+_stft_full_sharded = zjit(_stft_body,
+                          static_argnames=("step_length", "mesh",
+                                           "axis_name", "pads", "magnitude"))
+
+
+@partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
+                                   "pads", "magnitude", "number_times"))
+def _stft_fused(audio_signal, window_function, step_length, mesh,
+                axis_name, pads, magnitude, number_times):
+    """Fused single-program sharded STFT/spectrogram: body + finish in ONE
+    jitted dispatch, keyed additionally on the true frame count, so the
+    finish (mirror/transpose/slice) fuses into the body's epilogue instead
+    of paying a second full pass over the output — the round-4 0.84-0.89x
+    wrapper tax (VERDICT round 4 item 1; docs/tpu_results/
+    sharded_breakdown_600.json names the split's intermediate
+    materialization + extra dispatches as the residual)."""
+    out = _stft_body(audio_signal, window_function, step_length, mesh,
+                     axis_name, pads, magnitude)
+    if magnitude:
+        return _transpose_slice_ops(out, number_times)
+    wl = window_function.shape[0]
+    return _stft_finish_ops(out[0], out[1], wl, number_times)
+
+
+def _transpose_slice_ops(frames_major, number_times):
     """``swapaxes(x, -1, -2)[..., :t]`` — the shared finish step for
     frames-major real outputs (magnitude spectrogram, MDCT coefficients).
     Transpose FIRST, then slice the (now minor) frame axis: slicing the
@@ -248,17 +287,24 @@ def _transpose_slice(frames_major, number_times):
     return jnp.swapaxes(frames_major, -1, -2)[..., :number_times]
 
 
-@partial(zjit, static_argnames=("window_length", "number_times"))
-def _stft_finish(re_half, im_half, window_length, number_times):
-    """Mirror + transpose + true-length slice in one fused pass: reads the
-    half planes (frames-major), writes the ``(WL, number_times)`` complex
-    output once. Keyed on the true frame count — a small, fast-compiling
-    program, so per-length retraces stay cheap while the expensive body
-    trace stays bucketed."""
+_transpose_slice = zjit(_transpose_slice_ops,
+                        static_argnames=("number_times",))
+
+
+def _stft_finish_ops(re_half, im_half, window_length, number_times):
+    """Mirror + transpose + true-length slice: reads the half planes
+    (frames-major), writes the ``(WL, number_times)`` complex output once."""
     half = jax.lax.complex(re_half[..., :number_times, :],
                            im_half[..., :number_times, :])
     full = _fft.full_from_half(half, window_length)
     return jnp.swapaxes(full, -1, -2)
+
+
+# Split-mode finish: a separate small jitted program keyed on the true
+# frame count, so per-length retraces stay cheap while the expensive body
+# trace stays bucketed.
+_stft_finish = zjit(_stft_finish_ops,
+                    static_argnames=("window_length", "number_times"))
 
 
 @_pallas_guarded
@@ -281,6 +327,9 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    if _fuse_enabled():
+        return _stft_fused(audio_signal, window_function, int(step_length),
+                           mesh, axis_name, pads, False, t)
     re_half, im_half = _stft_full_sharded(
         audio_signal, window_function, int(step_length), mesh, axis_name,
         pads, False)
@@ -299,34 +348,46 @@ def spectrogram_sharded(audio_signal, window_function, step_length: int,
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    if _fuse_enabled():
+        return _stft_fused(audio_signal, window_function, int(step_length),
+                           mesh, axis_name, pads, True, t)
     mag = _stft_full_sharded(audio_signal, window_function,
                              int(step_length), mesh, axis_name, pads, True)
     return _transpose_slice(mag, t)
 
 
-@partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "gain"))
-def _istft_core_sharded(audio_stft, step_length, mesh, axis_name, gain):
-    """Non-engine (native-FFT / f64 oracle) sharded synthesis core. Input
-    is already frame-padded to the bucketed ``t_pad`` (zero frame columns
-    contribute nothing to the overlap-add); returns everything after the
-    front trim — the wrapper slices the true length eagerly."""
-    wl = audio_stft.shape[-2]
-    frames_major = jnp.swapaxes(audio_stft, -1, -2)
+def _istft_plain_body(audio_stft, step_length, mesh, axis_name, gain,
+                      frames_pad, out_length):
+    """Non-engine (native-FFT / f64 oracle) sharded synthesis: frame-axis
+    pad to ``frames_pad`` (zero frame columns contribute nothing to the
+    overlap-add), inverse FFT, sharded OLA, trim."""
+    t = audio_stft.shape[-1]
+    padded = jnp.pad(
+        audio_stft,
+        [(0, 0)] * (audio_stft.ndim - 2) + [(0, 0), (0, frames_pad - t)])
+    wl = padded.shape[-2]
+    frames_major = jnp.swapaxes(padded, -1, -2)
     frames = _fft.real_ifft(frames_major)
     body = _sharded_synthesis(frames, wl, step_length, mesh, axis_name)
     out = body[..., wl - step_length:]
-    return out / jnp.asarray(gain, dtype=out.dtype)
+    out = out / jnp.asarray(gain, dtype=out.dtype)
+    if out_length is not None:
+        out = out[..., :out_length]
+    return out
 
 
-@partial(zjit, static_argnames=("window_length", "frames_pad"))
-def _istft_prep(audio_stft, window_length, frames_pad):
-    """Engine-path prep: transpose + Hermitian fold + frame-axis pad to the
-    bucketed ``frames_pad`` in ONE pass over the complex input, producing
+_istft_core_sharded = zjit(
+    _istft_plain_body,
+    static_argnames=("step_length", "mesh", "axis_name", "gain",
+                     "frames_pad", "out_length"))
+
+
+def _istft_prep_ops(audio_stft, window_length, frames_pad):
+    """Engine-path prep: transpose + Hermitian fold + frame-axis pad to
+    ``frames_pad`` in ONE pass over the complex input, producing
     ``(h_re, h_im)`` float planes ``(..., frames_pad, WL/2+1)``. Round 3
     instead eagerly zero-padded the complex spectrum to ``t_pad`` — a whole
-    extra pass at the c64 rate before the core even started (the dominant
-    share of the 0.84x sharded/plain ISTFT ratio; attribution in
+    extra pass at the c64 rate before the core even started (attribution in
     docs/tpu_results/sharded_breakdown.json). Zero spectrum columns fold to
     zero planes, so padding after the fold is exact."""
     fm = jnp.swapaxes(audio_stft, -1, -2)
@@ -337,21 +398,46 @@ def _istft_prep(audio_stft, window_length, frames_pad):
     return jnp.pad(h_re, pad), jnp.pad(h_im, pad)
 
 
-@partial(zjit, static_argnames=("window_length", "step_length", "mesh",
-                                   "axis_name", "gain"))
-def _istft_core_sharded_folded(h_re, h_im, window_length, step_length, mesh,
-                               axis_name, gain):
-    """Engine-path sharded synthesis from pre-folded Hermitian planes
-    (bucketed trace): the COLA gain folds into the inverse operator columns
-    (same as the single-device synthesis_ola) — kills the post-OLA
-    elementwise pass over the output signal. Bit-identical composition with
-    :func:`_istft_prep` to the former single-core program."""
+_istft_prep = zjit(_istft_prep_ops,
+                   static_argnames=("window_length", "frames_pad"))
+
+
+def _istft_folded_body(h_re, h_im, window_length, step_length, mesh,
+                       axis_name, gain):
+    """Engine-path sharded synthesis from pre-folded Hermitian planes: the
+    COLA gain folds into the inverse operator columns (same as the
+    single-device synthesis_ola) — kills the post-OLA elementwise pass over
+    the output signal."""
     frames = _fft.direct_real_ifft_folded(h_re, h_im, window_length,
                                           scale=1.0 / gain)
     body = _sharded_synthesis(frames, window_length, step_length, mesh,
                               axis_name)
     # Reference trim [wl-step : T*step) of the pre-trim signal (zaf.py:236).
     return body[..., window_length - step_length:]
+
+
+# Split-mode core (bucketed trace); bit-identical composition with
+# :func:`_istft_prep` to the former single-core program.
+_istft_core_sharded_folded = zjit(
+    _istft_folded_body,
+    static_argnames=("window_length", "step_length", "mesh", "axis_name",
+                     "gain"))
+
+
+@partial(zjit, static_argnames=("window_length", "step_length", "mesh",
+                                   "axis_name", "gain", "frames_pad",
+                                   "out_length"))
+def _istft_fused(audio_stft, window_length, step_length, mesh, axis_name,
+                 gain, frames_pad, out_length):
+    """Fused single-program engine-path sharded ISTFT: prep (transpose +
+    Hermitian fold + pad) + sharded synthesis + true-length slice in ONE
+    jitted dispatch, so the fold fuses into the GEMM feed and the final
+    slice into the OLA epilogue — the split structure paid a separate full
+    pass for each (VERDICT round 4 item 1)."""
+    h_re, h_im = _istft_prep_ops(audio_stft, window_length, frames_pad)
+    out = _istft_folded_body(h_re, h_im, window_length, step_length, mesh,
+                             axis_name, gain)
+    return out[..., :out_length]
 
 
 @_pallas_guarded
@@ -372,16 +458,17 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
     n_shards = mesh.shape[axis_name]
     t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
     gain = _frame.cola_gain(np.asarray(window_function), step)
+    out_length = t * step - (wl - step)
     if _fft.direct_engine_enabled(wl):
+        if _fuse_enabled():
+            return _istft_fused(audio_stft, wl, step, mesh, axis_name,
+                                gain, t_pad, out_length)
         h_re, h_im = _istft_prep(audio_stft, wl, t_pad)
         out = _istft_core_sharded_folded(h_re, h_im, wl, step, mesh,
                                          axis_name, gain)
-    else:
-        padded = jnp.pad(
-            audio_stft,
-            [(0, 0)] * (audio_stft.ndim - 2) + [(0, 0), (0, t_pad - t)])
-        out = _istft_core_sharded(padded, step, mesh, axis_name, gain)
-    return out[..., :t * step - (wl - step)]
+        return out[..., :out_length]
+    return _istft_core_sharded(audio_stft, step, mesh, axis_name, gain,
+                               t_pad, out_length)
 
 
 # ---------------------------------------------------------------------------
@@ -389,21 +476,29 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
 # ---------------------------------------------------------------------------
 
 @partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads", "power", "number_coefficients"))
+                                   "pads", "power", "number_coefficients",
+                                   "number_times"))
 def _mel_full_sharded(audio_signal, window_function, fbank_t, dct_t,
                       step_length, mesh, axis_name, pads, power,
-                      number_coefficients):
+                      number_coefficients, number_times=None):
     """Sharded mel spectrogram (power=False) or MFCCs (power=True,
-    number_coefficients>0) in one jitted dispatch. ``t_pad`` wide — the
-    wrapper slices the true frame count eagerly (bucketing)."""
+    number_coefficients>0) in one jitted dispatch. With ``number_times``
+    (fused mode, the default) the true-frame-count slice happens in the
+    same program; with ``None`` (``ZAFTPU_SHARDED_FUSE=0``) the output is
+    ``t_pad`` wide and the wrapper slices eagerly (bucketed trace
+    sharing)."""
     mel = _mel_core_sharded(audio_signal, window_function, fbank_t,
                             step_length, mesh, axis_name, pads, power)
     if number_coefficients:
         logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, mel.dtype))
         cepstra = _policy.mxu_matmul(logmel, dct_t)
         out = jnp.swapaxes(cepstra, -1, -2)
-        return out[..., 1:number_coefficients + 1, :]
-    return jnp.swapaxes(mel, -1, -2)
+        out = out[..., 1:number_coefficients + 1, :]
+    else:
+        out = jnp.swapaxes(mel, -1, -2)
+    if number_times is not None:
+        out = out[..., :number_times]
+    return out
 
 
 def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
@@ -452,13 +547,14 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     op_dtype = _policy.operator_dtype(audio_signal.dtype,
                                       transform="melspectrogram")
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    fused = _fuse_enabled()
     out = _mel_full_sharded(audio_signal, window_function,
                             device_constant(
                                 np.ascontiguousarray(fbank.T), op_dtype),
                             jnp.zeros(()),
                             int(step_length), mesh, axis_name, pads, False,
-                            0)
-    return out[..., :t]
+                            0, t if fused else None)
+    return out if fused else out[..., :t]
 
 
 @_pallas_guarded
@@ -478,38 +574,47 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
     # Same roofline exemption as the unsharded transform (policy.BF16_EXEMPT).
     op_dtype = _policy.operator_dtype(audio_signal.dtype, transform="mfcc")
     audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
+    fused = _fuse_enabled()
     out = _mel_full_sharded(audio_signal, window_function,
                             device_constant(
                                 np.ascontiguousarray(fbank.T), op_dtype),
                             device_constant(
                                 np.ascontiguousarray(dct_mat.T), op_dtype),
                             int(step_length), mesh, axis_name, pads, True,
-                            int(number_coefficients))
-    return out[..., :t]
+                            int(number_coefficients), t if fused else None)
+    return out if fused else out[..., :t]
 
 
 # ---------------------------------------------------------------------------
 # MDCT family
 # ---------------------------------------------------------------------------
 
-@partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
+@partial(zjit, static_argnames=("mesh", "axis_name", "pads",
+                                   "number_times"))
 def _mdct_full_sharded(audio_signal, window_function, pre, post, mesh,
-                       axis_name, pads):
-    """Bucketed body: FRAMES-MAJOR coefficients ``(..., t_pad, WL/2)``; the
-    wrapper's :func:`_transpose_slice` fuses the bins-major transpose with
-    the true-length slice (one pass instead of the round-3 in-core
-    transpose + eager slice pair)."""
-    return _mdct_core_sharded(audio_signal, window_function, pre, post,
-                              mesh, axis_name, pads)
+                       axis_name, pads, number_times=None):
+    """Twiddle-path sharded MDCT body: FRAMES-MAJOR coefficients
+    ``(..., t_pad, WL/2)``, or — with ``number_times`` (fused mode) — the
+    bins-major true-length output with the transpose+slice in the same
+    program."""
+    out = _mdct_core_sharded(audio_signal, window_function, pre, post,
+                             mesh, axis_name, pads)
+    if number_times is not None:
+        out = _transpose_slice_ops(out, number_times)
+    return out
 
 
-@partial(zjit, static_argnames=("mesh", "axis_name", "pads"))
+@partial(zjit, static_argnames=("mesh", "axis_name", "pads",
+                                   "number_times"))
 def _mdct_full_sharded_direct(audio_signal, window_function, mesh,
-                              axis_name, pads):
+                              axis_name, pads, number_times=None):
     """Direct-GEMM sharded MDCT: same folded (WL, WL/2) operator as the
     single-device path, so the value-identity contract holds under
     ``ZAFTPU_FFT=matmul`` too. FRAMES-MAJOR output ``(..., t_pad, WL/2)``
-    — the wrapper's :func:`_transpose_slice` fuses transpose + slice. The
+    when ``number_times`` is None (split mode — the wrapper's
+    :func:`_transpose_slice` fuses transpose + slice as a second program);
+    with ``number_times`` (fused mode) the transpose+slice runs in this
+    same program, where XLA folds it into the GEMM output layout. The
     operator enters as a trace-time constant (docs/perf.md round 4,
     "operator constants" — the argument form pays a per-call relayout)."""
     pad_front, body_len, _ = pads
@@ -550,7 +655,10 @@ def _mdct_full_sharded_direct(audio_signal, window_function, mesh,
                                          step, t_local)
         return _policy.real_matmul(frames, matrix().astype(frames.dtype))
 
-    return _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
+    out = _sharded_analysis(body, wl, step, block_fn, mesh, axis_name)
+    if number_times is not None:
+        out = _transpose_slice_ops(out, number_times)
+    return out
 
 
 def _mdct_core_sharded(audio_signal, window_function, pre, post, mesh,
@@ -592,30 +700,46 @@ def mdct_sharded(audio_signal, window_function, mesh,
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
     audio_signal = _prepad_tail(audio_signal, body_len - step)
+    fused = _fuse_enabled()
     if _fft.direct_engine_enabled(wl):
         out = _mdct_full_sharded_direct(
             audio_signal, as_device_constant(window_function),
-            mesh, axis_name, (step, body_len, t_pad))
-        return _transpose_slice(out, t)
+            mesh, axis_name, (step, body_len, t_pad),
+            t if fused else None)
+        return out if fused else _transpose_slice(out, t)
     pre, post = _forward_twiddles(wl)
     ctype = np.complex64 if audio_signal.dtype == jnp.float32 else np.complex128
     out = _mdct_full_sharded(
         audio_signal, as_device_constant(window_function),
         device_constant(pre, ctype), device_constant(post, ctype),
-        mesh, axis_name, (step, body_len, t_pad))
-    return _transpose_slice(out, t)
+        mesh, axis_name, (step, body_len, t_pad), t if fused else None)
+    return out if fused else _transpose_slice(out, t)
 
 
-@partial(zjit, static_argnames=("frames_pad",))
-def _imdct_prep(audio_mdct, frames_pad):
-    """Transpose to frames-major + frame-axis pad to the bucketed ``t_pad``
-    in ONE pass over the coefficient matrix. Round 3 instead eagerly padded
-    the bins-major matrix (a full extra pass) and transposed inside the
-    core; attribution in docs/tpu_results/sharded_breakdown.json."""
+def _imdct_prep_ops(audio_mdct, frames_pad):
+    """Transpose to frames-major + frame-axis pad to ``frames_pad`` in ONE
+    pass over the coefficient matrix. Round 3 instead eagerly padded the
+    bins-major matrix (a full extra pass) and transposed inside the core;
+    attribution in docs/tpu_results/sharded_breakdown.json."""
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)
     pad = ([(0, 0)] * (coeffs.ndim - 2)
            + [(0, frames_pad - coeffs.shape[-2]), (0, 0)])
     return jnp.pad(coeffs, pad)
+
+
+_imdct_prep = zjit(_imdct_prep_ops, static_argnames=("frames_pad",))
+
+
+@partial(zjit, static_argnames=("wbytes", "mesh", "axis_name",
+                                   "frames_pad", "out_length"))
+def _imdct_fused_direct(audio_mdct, wbytes, mesh, axis_name, frames_pad,
+                        out_length):
+    """Fused single-program direct-GEMM sharded inverse MDCT: prep
+    (transpose + pad) + window-folded GEMM + TDAC boundary-sum exchange +
+    reference trim in ONE jitted dispatch (VERDICT round 4 item 1)."""
+    coeffs = _imdct_prep_ops(audio_mdct, frames_pad)
+    out = _imdct_direct_body(coeffs, wbytes, mesh, axis_name)
+    return out[..., :out_length]
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))
@@ -633,12 +757,11 @@ def _imdct_core_sharded(coeffs, window_function, pre, post, mesh,
     return body[..., f:]
 
 
-@partial(zjit, static_argnames=("wbytes", "mesh", "axis_name"))
-def _imdct_core_sharded_direct(coeffs, wbytes, mesh, axis_name):
-    """Direct-GEMM sharded inverse MDCT: the window-folded (F, 2F) operator
-    of the single-device path (pre/FFT/post/2*Re/window fused), so values
-    stay identical under ``ZAFTPU_FFT=matmul``. FRAMES-MAJOR input; the
-    operator is a trace-time constant keyed by the static window bytes
+def _imdct_direct_body(coeffs, wbytes, mesh, axis_name):
+    """Direct-GEMM sharded inverse MDCT body: the window-folded (F, 2F)
+    operator of the single-device path (pre/FFT/post/2*Re/window fused), so
+    values stay identical under ``ZAFTPU_FFT=matmul``. FRAMES-MAJOR input;
+    the operator is a trace-time constant keyed by the static window bytes
     (the argument form pays a per-call relayout — docs/perf.md round 4)."""
     f = coeffs.shape[-1]
     rdtype = np.float32 if coeffs.dtype == jnp.float32 else np.float64
@@ -647,6 +770,10 @@ def _imdct_core_sharded_direct(coeffs, wbytes, mesh, axis_name):
     frames = _policy.real_matmul(coeffs, matrix.astype(coeffs.dtype))
     body = _sharded_synthesis(frames, 2 * f, f, mesh, axis_name)
     return body[..., f:]
+
+
+_imdct_core_sharded_direct = zjit(
+    _imdct_direct_body, static_argnames=("wbytes", "mesh", "axis_name"))
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))
@@ -674,9 +801,13 @@ def imdct_sharded(audio_mdct, window_function, mesh,
     t_pad = _bucket_t_pad(n_shards * (-(-t // n_shards)), n_shards)
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    padded = _imdct_prep(audio_mdct, t_pad)
     if _fft.direct_engine_enabled(2 * f):
         wbytes = _host_window_bytes(window_function)
+        if wbytes is not None and _fuse_enabled():
+            # Reference trim [F : F*(T+1)-F-1) (zaf.py:1182): len F*T-F-1.
+            return _imdct_fused_direct(audio_mdct, wbytes, mesh, axis_name,
+                                       t_pad, f * t - f - 1)
+        padded = _imdct_prep(audio_mdct, t_pad)
         if wbytes is None:
             out = _imdct_core_sharded_direct_unfused(
                 padded, as_device_constant(window_function), mesh,
@@ -685,6 +816,7 @@ def imdct_sharded(audio_mdct, window_function, mesh,
             out = _imdct_core_sharded_direct(padded, wbytes, mesh,
                                              axis_name)
         return out[..., :f * t - f - 1]
+    padded = _imdct_prep(audio_mdct, t_pad)
     pre, post = _inverse_twiddles(f)
     ctype = np.complex64 if audio_mdct.dtype == jnp.float32 else np.complex128
     out = _imdct_core_sharded(
