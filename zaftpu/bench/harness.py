@@ -30,6 +30,22 @@ def _signal(seconds: float, sr: int = 44100) -> np.ndarray:
         return (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
 
 
+def _segment_seconds() -> float:
+    """Segment size for long-audio runs (``ZAFTPU_BENCH_SEGMENT_SECONDS``,
+    default 600). Hour-scale signals are processed as back-to-back segment
+    calls — exactly how the framework handles hour audio in production
+    (bench.py's chunk loop, io/pipeline's streaming blocks): one giant call
+    would allocate a ~2.5 GB complex STFT (over the remote tunnel's ~1 GiB
+    single-buffer limit) and measured 17% below the 600-s per-frame rate on
+    hardware (docs/tpu_results/suite.json round 4, hour vs default arms)."""
+    try:
+        import os
+
+        return float(os.environ.get("ZAFTPU_BENCH_SEGMENT_SECONDS", "600"))
+    except ValueError:
+        return 600.0
+
+
 def run_transform_suite(seconds: float = 60.0, reps: int = 3,
                         dispatches: int | None = None):
     """Time every transform; returns list of dicts (printed as a table)."""
@@ -53,49 +69,73 @@ def run_transform_suite(seconds: float = 60.0, reps: int = 3,
     from zaftpu.utils.profiling import timed
 
     sr, wl, step = 44100, 2048, 1024
-    signal = jnp.asarray(_signal(seconds, sr))
+    seg_s = _segment_seconds()
+    if seconds > seg_s:
+        # Long audio runs as segments (see _segment_seconds). The tiled
+        # fixture repeats content, so one device buffer per distinct length
+        # is uploaded and reused — timing measures compute over distinct
+        # dispatched outputs, not input identity.
+        host = _signal(seconds, sr)
+        seg_len = int(seg_s * sr)
+        uploaded: dict = {}
+        signals = []
+        for lo in range(0, len(host), seg_len):
+            piece = host[lo:lo + seg_len]
+            if len(piece) not in uploaded:
+                uploaded[len(piece)] = jnp.asarray(piece)
+            signals.append(uploaded[len(piece)])
+    else:
+        signals = [jnp.asarray(_signal(seconds, sr))]
     window = hamming(wl).astype(np.float32)
     tdac = vorbis(wl).astype(np.float32)
     fbank = zaftpu.melfilterbank(sr, wl, 40)
     kernel = zaftpu.cqtkernel(sr, 24, 55, 3520)
-    n = int(signal.shape[0])
-    t_stft = int(np.ceil((n + 2 * (wl // 2) - wl) / step)) + 1
-    t_mdct = int(np.ceil(n / step)) + 1
-    t_cqt = n // round(sr / 25)
+    lens = [int(x.shape[0]) for x in signals]
+    t_stft = sum(int(np.ceil((n + 2 * (wl // 2) - wl) / step)) + 1
+                 for n in lens)
+    t_mdct = sum(int(np.ceil(n / step)) + 1 for n in lens)
+    t_cqt = sum(n // round(sr / 25) for n in lens)
 
     rows = []
 
-    def bench(name, fn, frames, *args):
-        _, stats = timed(name, fn, *args, frames=frames, reps=reps, log=False,
+    def bench(name, fn, frames, inputs):
+        # One timed "dispatch" = one back-to-back pass over all segments.
+        # Only the LAST output is returned: device execution is in-order, so
+        # the trailing dependent fetch in timed() synchronizes the whole
+        # pass with ONE round trip, and earlier segments' buffers free as
+        # their computations finish.
+        _, stats = timed(name, lambda xs: [fn(x) for x in xs][-1], inputs,
+                         frames=frames, reps=reps, log=False,
                          dispatches=dispatches, target_s=target_s)
         rows.append({"transform": name, "seconds": round(stats.seconds, 4),
                      "frames_per_sec": round(stats.frames_per_second, 1)})
         return _
 
-    spec = zaftpu.stft(signal, window, step)
+    specs = [zaftpu.stft(x, window, step) for x in signals]
     from zaftpu.transforms.stft import spectrogram
 
-    bench("stft", lambda x: zaftpu.stft(x, window, step), t_stft, signal)
-    bench("istft", lambda s: zaftpu.istft(s, window, step), t_stft, spec)
+    bench("stft", lambda x: zaftpu.stft(x, window, step), t_stft, signals)
+    bench("istft", lambda s: zaftpu.istft(s, window, step), t_stft, specs)
     bench("spectrogram", lambda x: spectrogram(x, window, step), t_stft,
-          signal)
+          signals)
     bench("melspectrogram",
           lambda x: zaftpu.melspectrogram(x, window, step, fbank), t_stft,
-          signal)
+          signals)
     bench("mfcc", lambda x: zaftpu.mfcc(x, window, step, fbank, 20), t_stft,
-          signal)
-    coeffs = zaftpu.mdct(signal, tdac)
-    bench("mdct", lambda x: zaftpu.mdct(x, tdac), t_mdct, signal)
+          signals)
+    coeffs = [zaftpu.mdct(x, tdac) for x in signals]
+    bench("mdct", lambda x: zaftpu.mdct(x, tdac), t_mdct, signals)
     bench("imdct", lambda c: zaftpu.imdct(c, tdac), t_mdct, coeffs)
     bench("cqtspectrogram",
-          lambda x: zaftpu.cqtspectrogram(x, sr, 25, kernel), t_cqt, signal)
+          lambda x: zaftpu.cqtspectrogram(x, sr, 25, kernel), t_cqt,
+          signals)
     bench("cqtchromagram",
           lambda x: zaftpu.cqtchromagram(x, sr, 25, 24, kernel), t_cqt,
-          signal)
-    seg = np.asarray(signal[:1024])
+          signals)
+    seg = np.asarray(signals[0][:1024])
     batch = jnp.asarray(np.tile(seg, (1024, 1)))
-    bench("dct2_batch1024", lambda b: zaftpu.dct(b, 2), 1024, batch)
-    bench("dst2_batch1024", lambda b: zaftpu.dst(b, 2), 1024, batch)
+    bench("dct2_batch1024", lambda b: zaftpu.dct(b, 2), 1024, [batch])
+    bench("dst2_batch1024", lambda b: zaftpu.dst(b, 2), 1024, [batch])
     return rows
 
 
