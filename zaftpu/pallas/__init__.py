@@ -179,6 +179,16 @@ def overlap_add(frames, step: int):
     return _xla_frame.overlap_add(frames, step)
 
 
+def synth_kernel_wanted(n: int, step: int, dtype, ndim: int) -> bool:
+    """ISTFT-shaped eligibility for the fused inverse-GEMM+OLA synthesis
+    kernel (two components, contraction over the folded half spectrum) —
+    see :func:`zaftpu.pallas.synth.kernel_wanted`."""
+    from zaftpu.pallas import synth as _synth
+
+    return _synth.kernel_wanted(n, step, dtype, ndim, 2,
+                                _synth._kpad(n // 2 + 1))
+
+
 def synthesis_ola(spectra, step: int, gain: float = 1.0):
     """Synthesis back end from *bins-major* spectra ``(..., N, T)``:
     ``overlap_add(real_ifft(spectraᵀ), step) / gain``.
@@ -189,13 +199,26 @@ def synthesis_ola(spectra, step: int, gain: float = 1.0):
     post-OLA elementwise pass); the transpose + lane-gather fold layout is
     the measured-faster formulation (the bins-major major-axis fold
     measured 8% slower on the chip, docs/tpu_results/stft_breakdown.json
-    round 3). Off the engine path: real_ifft + OLA + post-division."""
+    round 3). When the fused synthesis kernel is eligible
+    (:func:`synth_kernel_wanted`) the inverse GEMM and the overlap-add run
+    as ONE Pallas pass — the frame matrix never touches HBM
+    (pallas/synth.py; VERDICT round 4 item 3). Off the engine path:
+    real_ifft + OLA + post-division."""
+    import os as _os
+
     from zaftpu.core import fft as _fft
 
     n = spectra.shape[-2]
     if _fft.direct_engine_enabled(n):
-        frames = _fft.direct_real_ifft(jnp.swapaxes(spectra, -1, -2),
-                                       scale=1.0 / gain)
+        fm = jnp.swapaxes(spectra, -1, -2)
+        if (synth_kernel_wanted(n, step, jnp.real(fm).dtype, fm.ndim)
+                and _os.environ.get("ZAFTPU_MIRROR") != "pallas"):
+            from zaftpu.pallas import synth as _synth
+
+            h_re, h_im = _fft.hermitian_fold_planes(jnp.real(fm),
+                                                    jnp.imag(fm), n)
+            return _synth.istft_ola(h_re, h_im, n, step, 1.0 / gain)
+        frames = _fft.direct_real_ifft(fm, scale=1.0 / gain)
         return overlap_add(frames, step)
     frames = _fft.real_ifft(jnp.swapaxes(spectra, -1, -2))
     out = overlap_add(frames, step)

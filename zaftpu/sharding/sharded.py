@@ -402,16 +402,63 @@ _istft_prep = zjit(_istft_prep_ops,
                    static_argnames=("window_length", "frames_pad"))
 
 
+def _synth_wants_vmem():
+    """Sharded synthesis zjit hint: raised scoped-VMEM twin whenever the
+    fused synthesis kernel (or a split4 Pallas consumer) can enter the
+    trace."""
+    from zaftpu.core.dispatch import _wants_scoped_vmem
+    from zaftpu.pallas import synth as _synth
+
+    return _wants_scoped_vmem() or _synth.wants_budget()
+
+
+def _sharded_synthesis_fused(planes, window_length: int, step: int, mesh,
+                             axis_name, local_synth):
+    """shard_map skeleton for the fused synthesis kernel: each shard runs
+    ``local_synth(*local_planes)`` — the one-pass inverse-GEMM + OLA Pallas
+    kernel on its local spectrum rows, producing its local pre-trim signal
+    including the ``window_length - step`` spill — then pushes the spill
+    into its right neighbor (the same boundary-sum halo as
+    :func:`_sharded_synthesis`, so values match the split formulation's
+    exchange exactly)."""
+    batch = _batch_spec(mesh, planes[0].ndim - 2)
+
+    def local(*blocks):
+        local_sig = local_synth(*blocks)
+        split = blocks[0].shape[-2] * step
+        return _halo.push_right_sum(local_sig[..., :split],
+                                    local_sig[..., split:], axis_name)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=tuple(P(*batch, axis_name, None) for _ in planes),
+        out_specs=P(*batch, axis_name), check_vma=False)(*planes)
+
+
 def _istft_folded_body(h_re, h_im, window_length, step_length, mesh,
                        axis_name, gain):
     """Engine-path sharded synthesis from pre-folded Hermitian planes: the
     COLA gain folds into the inverse operator columns (same as the
     single-device synthesis_ola) — kills the post-OLA elementwise pass over
-    the output signal."""
-    frames = _fft.direct_real_ifft_folded(h_re, h_im, window_length,
-                                          scale=1.0 / gain)
-    body = _sharded_synthesis(frames, window_length, step_length, mesh,
-                              axis_name)
+    the output signal. On a TPU mesh with the fused synthesis kernel
+    eligible, each shard runs the one-pass GEMM+OLA kernel
+    (pallas/synth.py) — the same program the single-device ISTFT
+    dispatches, so sharded values track it exactly."""
+    from zaftpu.pallas import synth as _synth
+
+    if (_mesh_on_tpu(mesh)
+            and _synth.kernel_wanted(window_length, step_length,
+                                     h_re.dtype, h_re.ndim, 2,
+                                     _synth._kpad(window_length // 2 + 1))):
+        body = _sharded_synthesis_fused(
+            (h_re, h_im), window_length, step_length, mesh, axis_name,
+            lambda hr, hi: _synth.istft_ola(hr, hi, window_length,
+                                            step_length, 1.0 / gain))
+    else:
+        frames = _fft.direct_real_ifft_folded(h_re, h_im, window_length,
+                                              scale=1.0 / gain)
+        body = _sharded_synthesis(frames, window_length, step_length, mesh,
+                                  axis_name)
     # Reference trim [wl-step : T*step) of the pre-trim signal (zaf.py:236).
     return body[..., window_length - step_length:]
 
@@ -421,12 +468,14 @@ def _istft_folded_body(h_re, h_im, window_length, step_length, mesh,
 _istft_core_sharded_folded = zjit(
     _istft_folded_body,
     static_argnames=("window_length", "step_length", "mesh", "axis_name",
-                     "gain"))
+                     "gain"),
+    scoped_vmem=_synth_wants_vmem)
 
 
 @partial(zjit, static_argnames=("window_length", "step_length", "mesh",
                                    "axis_name", "gain", "frames_pad",
-                                   "out_length"))
+                                   "out_length"),
+         scoped_vmem=_synth_wants_vmem)
 def _istft_fused(audio_stft, window_length, step_length, mesh, axis_name,
                  gain, frames_pad, out_length):
     """Fused single-program engine-path sharded ISTFT: prep (transpose +
@@ -731,7 +780,8 @@ _imdct_prep = zjit(_imdct_prep_ops, static_argnames=("frames_pad",))
 
 
 @partial(zjit, static_argnames=("wbytes", "mesh", "axis_name",
-                                   "frames_pad", "out_length"))
+                                   "frames_pad", "out_length"),
+         scoped_vmem=_synth_wants_vmem)
 def _imdct_fused_direct(audio_mdct, wbytes, mesh, axis_name, frames_pad,
                         out_length):
     """Fused single-program direct-GEMM sharded inverse MDCT: prep
@@ -762,8 +812,19 @@ def _imdct_direct_body(coeffs, wbytes, mesh, axis_name):
     operator of the single-device path (pre/FFT/post/2*Re/window fused), so
     values stay identical under ``ZAFTPU_FFT=matmul``. FRAMES-MAJOR input;
     the operator is a trace-time constant keyed by the static window bytes
-    (the argument form pays a per-call relayout — docs/perf.md round 4)."""
+    (the argument form pays a per-call relayout — docs/perf.md round 4).
+    On a TPU mesh, when the single-device IMDCT dispatches the fused
+    synthesis kernel (transforms/mdct._imdct_synth_kernel), each shard runs
+    the same one-pass GEMM+OLA program on its local coefficient rows."""
+    from zaftpu.pallas import synth as _synth
+    from zaftpu.transforms.mdct import _imdct_synth_kernel
+
     f = coeffs.shape[-1]
+    if _mesh_on_tpu(mesh) and _imdct_synth_kernel(coeffs, f):
+        body = _sharded_synthesis_fused(
+            (coeffs,), 2 * f, f, mesh, axis_name,
+            lambda c: _synth.imdct_ola(c, f, wbytes))
+        return body[..., f:]
     rdtype = np.float32 if coeffs.dtype == jnp.float32 else np.float64
     matrix = jnp.asarray(
         _direct_inverse_windowed_matrix(f, wbytes).astype(rdtype))
@@ -773,7 +834,8 @@ def _imdct_direct_body(coeffs, wbytes, mesh, axis_name):
 
 
 _imdct_core_sharded_direct = zjit(
-    _imdct_direct_body, static_argnames=("wbytes", "mesh", "axis_name"))
+    _imdct_direct_body, static_argnames=("wbytes", "mesh", "axis_name"),
+    scoped_vmem=_synth_wants_vmem)
 
 
 @partial(zjit, static_argnames=("mesh", "axis_name"))

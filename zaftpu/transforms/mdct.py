@@ -163,12 +163,45 @@ def _imdct_ola(frames, f):
     return _pallas.overlap_add(frames, f)
 
 
-@partial(zjit, static_argnames=("wbytes",))
+def _imdct_synth_wants_vmem():
+    from zaftpu.core.dispatch import _wants_scoped_vmem
+    from zaftpu.pallas import synth as _synth
+
+    return _wants_scoped_vmem() or _synth.wants_budget()
+
+
+def _imdct_synth_kernel(coeffs, f: int) -> bool:
+    """Dispatch the fused synthesis kernel for the inverse MDCT? Under
+    split4, where the 4-pass GEMM blocks XLA's OLA-into-GEMM epilogue
+    fusion, the one-pass kernel is the measured direction (the split
+    Pallas-OLA already won there, gather_ola2.json); at default precision
+    XLA's fused pads-sum OLA is the incumbent winner (4.96M vs 4.59M
+    frames/s) and the kernel stays opt-in via ``ZAFTPU_SYNTH=1`` pending a
+    hardware A/B."""
+    import os as _os
+
+    from zaftpu.core.policy import split4_enabled
+    from zaftpu.pallas import synth as _synth
+
+    if not _synth.kernel_wanted(2 * f, f, coeffs.dtype, coeffs.ndim, 1, f):
+        return False
+    return split4_enabled() or _os.environ.get("ZAFTPU_SYNTH") == "1"
+
+
+@partial(zjit, static_argnames=("wbytes",),
+         scoped_vmem=_imdct_synth_wants_vmem)
 def _imdct_direct_core(audio_mdct: jnp.ndarray, wbytes) -> jnp.ndarray:
     from zaftpu.core.policy import real_matmul
 
     f = audio_mdct.shape[-2]
     coeffs = jnp.swapaxes(audio_mdct, -1, -2)  # (..., T, F) frames-major
+    from zaftpu.pallas import synth as _synth
+
+    if _imdct_synth_kernel(coeffs, f):
+        # Fused inverse-GEMM + TDAC overlap-add in one Pallas pass — the
+        # (T, 2F) frame matrix never touches HBM (pallas/synth.py).
+        signal = _synth.imdct_ola(coeffs, f, wbytes)
+        return signal[..., f:signal.shape[-1] - f - 1]
     # The window-folded (F, 2F) inverse operator as a TRACE-TIME CONSTANT
     # (keyed by the static window bytes): XLA owns its layout and folds it
     # into the GEMM. The round-3 runtime-argument form measured 3.77M vs

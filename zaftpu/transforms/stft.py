@@ -122,7 +122,18 @@ def stft(audio_signal, window_function=None, step_length: int | None = None,
     return _stft_full(audio_signal, window_function, step_length)
 
 
-@partial(zjit, static_argnames=("step_length", "gain"))
+def _istft_wants_vmem():
+    """The fused synthesis kernel's two-component operator (~19 MB) needs
+    the raised scoped-VMEM twin; the split4 analysis consumers need it
+    independently (core/dispatch._wants_scoped_vmem)."""
+    from zaftpu.core.dispatch import _wants_scoped_vmem
+    from zaftpu.pallas import synth as _synth
+
+    return _wants_scoped_vmem() or _synth.wants_budget()
+
+
+@partial(zjit, static_argnames=("step_length", "gain"),
+         scoped_vmem=_istft_wants_vmem)
 def _istft_core(audio_stft: jnp.ndarray, step_length: int,
                 gain: float) -> jnp.ndarray:
     from zaftpu import pallas as _pallas
