@@ -210,6 +210,9 @@ def test_fused_stft_dispatch_matches_xla(monkeypatch):
     monkeypatch.setenv("ZAFTPU_FFT", "matmul")
     monkeypatch.setenv("ZAFTPU_PALLAS", "1")
     monkeypatch.setenv("ZAFTPU_FUSED", "1")
+    # This test pins the HALF-spectrum kernel dispatch; the mirrored
+    # full-spectrum twin has its own gates (test_fullspec_*).
+    monkeypatch.setenv("ZAFTPU_FULLSPEC", "0")
     out = np.asarray(zaftpu.stft(sig, win, 1024))
     assert out.shape == ref.shape
     scale = np.abs(ref).max()
@@ -351,3 +354,78 @@ def test_cqtslab_kernel_matches_slab_loop():
     ref = np.asarray(zaftpu.cqtspectrogram(x, sr, time_res, kern)).T
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=2e-6 * scale, rtol=2e-5)
+
+
+@pytest.mark.parametrize("wl,step,t", [(2048, 1024, 37), (512, 256, 150),
+                                       (1024, 128, 40), (2048, 1024, 300)])
+def test_fullspec_planes_match_mirror_bitwise(wl, step, t):
+    """The in-kernel mirrored-emission planes must equal
+    full_from_half(frames_rfft(...)) BIT-FOR-BIT: the mirrored lanes are
+    copies/negations of the same dot outputs (VERDICT round 4 item 5)."""
+    import jax
+
+    from zaftpu.core import fft as cfft
+    from zaftpu.pallas import fused as pfused
+
+    rng = np.random.default_rng(11)
+    padded = rng.standard_normal(t * step + wl - step).astype(np.float32)
+    win = hamming(wl).astype(np.float32)
+
+    half = pfused.frames_rfft(jnp.asarray(padded), jnp.asarray(win), wl,
+                              step, t, interpret=True)
+    ref = jax.jit(lambda h: cfft.full_from_half(h, wl))(half)
+    re, im = pfused.frames_rfft_full(jnp.asarray(padded), jnp.asarray(win),
+                                     wl, step, t, interpret=True)
+    assert re.shape == (t, wl) and im.shape == (t, wl)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(jnp.real(ref)))
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(jnp.imag(ref)))
+
+
+def test_fullspec_split4_matches_mirror_bitwise(monkeypatch):
+    """Same bit-identity contract under the split4 dial (presplit bf16
+    operator, in-kernel 4-pass scheme feeding the mirror epilogue)."""
+    import jax
+
+    from zaftpu.core import fft as cfft
+    from zaftpu.pallas import fused as pfused
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    wl, step, t = 2048, 1024, 93
+    rng = np.random.default_rng(12)
+    padded = rng.standard_normal(t * step + wl - step).astype(np.float32)
+    win = hamming(wl).astype(np.float32)
+    half = pfused.frames_rfft(jnp.asarray(padded), jnp.asarray(win), wl,
+                              step, t, interpret=True)
+    ref = jax.jit(lambda h: cfft.full_from_half(h, wl))(half)
+    re, im = pfused.frames_rfft_full(jnp.asarray(padded), jnp.asarray(win),
+                                     wl, step, t, interpret=True)
+    np.testing.assert_array_equal(np.asarray(re), np.asarray(jnp.real(ref)))
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(jnp.imag(ref)))
+
+
+def test_fullspec_stft_dispatch_matches_xla(monkeypatch):
+    """Full stft() through the mirrored-emission dispatch equals the
+    half-kernel + XLA gather-mirror program."""
+    import functools
+
+    import zaftpu
+    from zaftpu.pallas import fused as pfused
+
+    rng = np.random.default_rng(13)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    win = hamming(2048).astype(np.float32)
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    monkeypatch.setenv("ZAFTPU_FULLSPEC", "0")
+    monkeypatch.setattr(
+        pfused, "frames_rfft",
+        functools.partial(pfused.frames_rfft, interpret=True))
+    monkeypatch.setattr(
+        pfused, "frames_rfft_full",
+        functools.partial(pfused.frames_rfft_full, interpret=True))
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setenv("ZAFTPU_FUSED", "1")
+    ref = np.asarray(zaftpu.stft(sig, win, 1024))
+    monkeypatch.setenv("ZAFTPU_FULLSPEC", "1")
+    out = np.asarray(zaftpu.stft(sig, win, 1024))
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(out, ref)

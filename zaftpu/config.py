@@ -139,6 +139,9 @@ class DispatchConfig:
     mirror_strategy: str = "rev"
     pallas: str = "auto"
     fused: str = ""
+    fullspec: str = ""
+    synth: str = ""
+    sharded_fuse: str = ""
     precision: str = "highest"
     matmul_dtype: str = ""
 
@@ -159,6 +162,9 @@ class DispatchConfig:
             mirror_strategy=os.environ.get("ZAFTPU_MIRROR_STRATEGY", "rev"),
             pallas=os.environ.get("ZAFTPU_PALLAS", "auto"),
             fused=os.environ.get("ZAFTPU_FUSED", ""),
+            fullspec=os.environ.get("ZAFTPU_FULLSPEC", ""),
+            synth=os.environ.get("ZAFTPU_SYNTH", ""),
+            sharded_fuse=os.environ.get("ZAFTPU_SHARDED_FUSE", ""),
             precision=os.environ.get("ZAFTPU_PRECISION", "highest").lower(),
             matmul_dtype=("bfloat16"
                           if _policy.matmul_dtype() is not None else ""),

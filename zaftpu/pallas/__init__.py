@@ -169,6 +169,27 @@ def windowed_frames_rfft(padded, window, window_length: int, step: int,
     return _fft.rfft(frames)
 
 
+def windowed_frames_rfft_fullspec(padded, window, window_length: int,
+                                  step: int, number_times: int):
+    """Fused framing + window + DFT with IN-KERNEL mirrored full-spectrum
+    emission: returns the ``(re, im)`` ``(T, WL)`` planes, or ``None`` when
+    the dispatch is ineligible (the caller then runs the half-spectrum
+    kernel + the XLA gather mirror). Bit-identical to that composition —
+    the mirrored lanes are copies/negations of the same dot outputs
+    (pallas/fused._mirror_epilogue; VERDICT round 4 item 5)."""
+    from zaftpu.core import fft as _fft
+    from zaftpu.pallas import fused as _fused
+
+    if (enabled() and fused_enabled() and _fused.fullspec_enabled()
+            and padded.ndim == 1
+            and _fft.direct_engine_enabled(window_length)
+            and _fused.supported(window_length, step, padded.dtype)
+            and _fused.budget_ok()):
+        return _fused.frames_rfft_full(padded, window, window_length, step,
+                                       number_times)
+    return None
+
+
 def overlap_add(frames, step: int):
     """Overlap-add — Pallas one-write-pass kernel when eligible, else the
     XLA K-shifted-view accumulation."""

@@ -127,6 +127,60 @@ def _kernel(k: int, block: int, precision, sig_ref, win_ref, op_ref,
         precision=precision, preferred_element_type=jnp.float32)
 
 
+def _mirror_epilogue(half_res, n: int, half: int, sign: float):
+    """Full-spectrum plane from the half-plane dot result: columns
+    ``half..n-1`` are the conjugate mirror ``full[k] = sign * half[n-k]``
+    (sign +1 for the real plane, -1 for imaginary — zaf.py:139's
+    ``FFT(x)[k] = conj(FFT(x)[n-k])``). A pure in-VMEM lane reversal of the
+    SAME dot outputs, so the emitted spectrum is bit-identical to the XLA
+    gather-mirror it replaces (core/fft.full_from_half)."""
+    interior = half_res[:, 1:n - half + 1]
+    mirrored = jnp.flip(interior, axis=1)
+    if sign < 0:
+        mirrored = -mirrored
+    return jnp.concatenate([half_res[:, :half], mirrored], axis=1)
+
+
+def _kernel_full(k: int, block: int, precision, n: int, half: int,
+                 sign: float, sig_ref, win_ref, op_ref, out_ref, seg,
+                 frames, sem):
+    """Exact-path kernel emitting the FULL mirrored plane: the dot computes
+    bins 0..n/2 as usual; the epilogue writes the mirrored interior lanes
+    in-kernel, so XLA's only remaining assembly work is the intrinsic
+    ``lax.complex`` + transpose (measured floor 3.08 ms vs the 4.7 ms
+    lane-gather mirror per 10-min STFT — docs/tpu_results/c64_assembly.json;
+    VERDICT round 4 item 5)."""
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+    half_res = jax.lax.dot_general(
+        frames[:, :], op_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32)
+    out_ref[:, :] = _mirror_epilogue(half_res, n, half, sign)
+
+
+def _kernel_full_split4(k: int, block: int, use_reduce_precision: bool,
+                        n: int, half: int, sign: float, sig_ref, win_ref,
+                        op_ref, out_ref, seg, frames, sem):
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+    fr = frames[:, :]
+    if use_reduce_precision:
+        hi = jax.lax.reduce_precision(fr, exponent_bits=8, mantissa_bits=7)
+        ah = hi.astype(jnp.bfloat16)
+        al = (fr - hi).astype(jnp.bfloat16)
+    else:
+        ah = fr.astype(jnp.bfloat16)
+        al = (fr - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh, bl = op_ref[0], op_ref[1]
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    half_res = ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
+    out_ref[:, :] = _mirror_epilogue(half_res, n, half, sign)
+
+
 def _kernel_split4(k: int, block: int, use_reduce_precision: bool, sig_ref,
                    win_ref, op_ref, out_ref, seg, frames, sem):
     """4-pass bf16-split dot (policy._split4_matmul in VMEM): operator
@@ -271,6 +325,95 @@ def _split_ops_of(ops_padded_fn, n: int):
         out[c, 0] = hi.astype(ml_dtypes.bfloat16)
         out[c, 1] = lo.astype(ml_dtypes.bfloat16)
     return out
+
+
+def _frames_matmul_full_impl(padded, window, ops, window_length: int,
+                             step: int, number_times: int, precision,
+                             interpret: bool = False):
+    """Full-spectrum twin of :func:`_frames_matmul_impl`: same half-spectrum
+    operator and dots, but each component's kernel writes the ``(T, WL)``
+    mirrored plane via the in-kernel lane-reversal epilogue."""
+    n = window_length
+    half = n // 2 + 1
+    k = n // step
+    block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
+    t_pad = block * (-(-number_times // block))
+    rows = t_pad - block + _read_rows(block, k)
+    need = rows * step
+    padded = padded[:need]
+    if padded.shape[0] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[0]))
+    sig2d = padded.reshape(rows, step)
+    win2d = window.reshape(k, step).astype(padded.dtype)
+    split4 = precision == "split4"
+    f_pad = ops.shape[-1]
+
+    def one_component(op, sign):
+        if split4:
+            kern = functools.partial(_kernel_full_split4, k, block,
+                                     interpret, n, half, sign)
+            op_block = pl.BlockSpec((2, n, f_pad), lambda i: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        else:
+            kern = functools.partial(_kernel_full, k, block, precision, n,
+                                     half, sign)
+            op_block = pl.BlockSpec((n, f_pad), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=(t_pad // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((k, step), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                op_block,
+            ],
+            out_specs=pl.BlockSpec((block, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_pad, n), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((_read_rows(block, k), step), padded.dtype),
+                pltpu.VMEM((block, window_length), padded.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(sig2d, win2d, op)
+
+    re_full = one_component(ops[0], 1.0)
+    im_full = one_component(ops[1], -1.0)
+    return re_full[:number_times], im_full[:number_times]
+
+
+frames_matmul_full = jax.jit(
+    _frames_matmul_full_impl,
+    static_argnames=("window_length", "step", "number_times", "precision",
+                     "interpret"))
+
+
+def fullspec_enabled() -> bool:
+    """``ZAFTPU_FULLSPEC``: dispatch the full-spectrum mirrored-emission
+    kernels for the STFT (``auto`` default — on when the fused dispatch
+    itself is on; ``0`` disables, the A/B lever; ``1`` forces)."""
+    import os
+
+    env = os.environ.get("ZAFTPU_FULLSPEC", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return True
+
+
+def frames_rfft_full(padded, window, window_length: int, step: int,
+                     number_times: int, interpret: bool = False):
+    """Fused windowed-frames FULL-spectrum planes ``(re, im)`` of shape
+    ``(T, WL)`` — the reference's zaf.py:139 convention with the mirrored
+    bins emitted in-kernel (bit-identical to
+    ``full_from_half(frames_rfft(...))`` since the mirrored lanes are
+    copies/negations of the same dot outputs)."""
+    ops, precision = _dispatch_ops(_rdft_ops_padded, window_length)
+    return frames_matmul_full(padded, window, ops, window_length, step,
+                              number_times, precision, interpret=interpret)
 
 
 def frames_rfft(padded, window, window_length: int, step: int,

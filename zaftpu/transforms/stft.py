@@ -54,7 +54,24 @@ def _stft_frames_half(audio_signal: jnp.ndarray, window_function: jnp.ndarray,
 
 @partial(zjit, static_argnames=("step_length",))
 def _stft_full(audio_signal, window_function, step_length):
-    half = _stft_frames_half(audio_signal, window_function, step_length)
+    from zaftpu import pallas as _pallas
+
+    n = audio_signal.shape[-1]
+    wl = window_function.shape[0]
+    pad_front, pad_back, t = _frame.stft_padding(n, wl, step_length)
+    padded = jnp.pad(audio_signal, [(0, 0)] * (audio_signal.ndim - 1)
+                     + [(pad_front, pad_back)])
+    planes = _pallas.windowed_frames_rfft_fullspec(padded, window_function,
+                                                   wl, step_length, t)
+    if planes is not None:
+        # In-kernel mirrored emission: XLA's only assembly work is the
+        # intrinsic lax.complex + transpose (the measured 3.08 ms floor vs
+        # the 4.7 ms lane-gather mirror per 10-min STFT,
+        # docs/tpu_results/c64_assembly.json). Bit-identical to the mirror
+        # path below.
+        return jnp.swapaxes(jax.lax.complex(planes[0], planes[1]), -1, -2)
+    half = _pallas.windowed_frames_rfft(padded, window_function, wl,
+                                        step_length, t)
     # Lane-gather mirror + one complex transpose. The bins-major
     # alternative (full_from_half_t: transpose the planes, then a
     # major-axis reversed-slice concat) was predicted to win from the
@@ -62,7 +79,7 @@ def _stft_full(audio_signal, window_function, step_length):
     # (10-min STFT 1.49M vs 1.72M fr/s, bit-identical —
     # docs/tpu_results/stft_breakdown.json round 3 stft vs stft_old);
     # this is the measured-faster formulation.
-    full = _fft.full_from_half(half, window_function.shape[0])
+    full = _fft.full_from_half(half, wl)
     return jnp.swapaxes(full, -1, -2)
 
 
