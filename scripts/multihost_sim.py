@@ -39,6 +39,11 @@ def worker(process_id: int) -> None:
     devices = jax.devices()
     assert len(devices) == 8, devices
     mesh = make_mesh(len(devices))
+    # Startup-phase sentinel: once this prints, the coordinator handshake
+    # and mesh construction succeeded — any later failure is a REAL
+    # regression, and the pytest wrapper must not skip on it
+    # (tests/test_multihost.py; VERDICT round 4 item 9).
+    print(f"process {process_id}: mesh ready", flush=True)
     win = hamming(512)
     sig = np.sin(0.01 * np.arange(8 * 6 * 256)) * 0.5
 

@@ -214,3 +214,32 @@ def test_budget_degradations_off_budget(monkeypatch):
         assert pcqtslab.block_for_budget() == pcqtslab.BLOCK_FRAMES
     finally:
         disp._BUDGET_RAISED.reset(token)
+
+
+def test_cqt_scheme_resolution(monkeypatch):
+    """The CQT-local split4 scheme defaults ON (VERDICT round 4 item 7: the
+    measured-better mode must not be opt-in), defers to an explicitly
+    pinned global precision, and honors its own override lever."""
+    from zaftpu.config import DispatchConfig
+    from zaftpu.transforms import cqt as cqt_mod
+
+    monkeypatch.delenv("ZAFTPU_PRECISION", raising=False)
+    monkeypatch.delenv("ZAFTPU_CQT_SCHEME", raising=False)
+    assert cqt_mod._slab_scheme_split4() is True
+    snap_default = DispatchConfig.current()
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "highest")
+    assert cqt_mod._slab_scheme_split4() is False
+    # Pinning the dial must RETRACE even though the resolved precision
+    # string is unchanged ("highest" either way).
+    assert DispatchConfig.current() != snap_default
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "split4")
+    assert cqt_mod._slab_scheme_split4() is True
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", "highest")
+    monkeypatch.setenv("ZAFTPU_CQT_SCHEME", "split4")
+    assert cqt_mod._slab_scheme_split4() is True
+    monkeypatch.setenv("ZAFTPU_CQT_SCHEME", "exact")
+    monkeypatch.delenv("ZAFTPU_PRECISION", raising=False)
+    assert cqt_mod._slab_scheme_split4() is False

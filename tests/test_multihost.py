@@ -47,8 +47,13 @@ def test_two_process_mesh_end_to_end():
         pytest.skip("multihost sim timed out — coordinator likely blocked "
                     "in this environment")
     out = proc.stdout + proc.stderr
-    if proc.returncode != 0 and any(m in out for m in
-                                    _COORDINATOR_ENV_FAILURES):
+    # Skip ONLY on startup-phase failures: once a worker prints its "mesh
+    # ready" sentinel the coordinator and mesh are up, so a later error
+    # mentioning e.g. "coordinator" (an assertion message, a teardown
+    # warning) must FAIL, not skip (VERDICT round 4 item 9).
+    started = "mesh ready" in proc.stdout
+    if (proc.returncode != 0 and not started
+            and any(m in out for m in _COORDINATOR_ENV_FAILURES)):
         pytest.skip(f"distributed coordinator unavailable: {out[-400:]}")
     assert proc.returncode == 0, out[-2000:]
     assert "multihost simulation: PASS" in proc.stdout

@@ -142,6 +142,7 @@ class DispatchConfig:
     fullspec: str = ""
     synth: str = ""
     sharded_fuse: str = ""
+    cqt_scheme: str = "auto"
     precision: str = "highest"
     matmul_dtype: str = ""
 
@@ -165,6 +166,11 @@ class DispatchConfig:
             fullspec=os.environ.get("ZAFTPU_FULLSPEC", ""),
             synth=os.environ.get("ZAFTPU_SYNTH", ""),
             sharded_fuse=os.environ.get("ZAFTPU_SHARDED_FUSE", ""),
+            # Fold the precision dial's SET/UNSET distinction in via the
+            # CQT scheme resolution (auto differs when ZAFTPU_PRECISION is
+            # explicitly pinned vs defaulted — transforms/cqt).
+            cqt_scheme=os.environ.get("ZAFTPU_CQT_SCHEME", "auto") + (
+                ":pinned" if os.environ.get("ZAFTPU_PRECISION") else ""),
             precision=os.environ.get("ZAFTPU_PRECISION", "highest").lower(),
             matmul_dtype=("bfloat16"
                           if _policy.matmul_dtype() is not None else ""),

@@ -252,16 +252,21 @@ def _kernel_split4(n_slabs: int, block: int, use_reduce_precision: bool,
 
 
 def slab_ops_traced(m_real, m_imag, step: int, fft_length: int,
-                    f_channels: int):
+                    f_channels: int, split4: bool | None = None):
     """The slab-operator stack built IN-TRACE from the device-resident
     (fft_length, F) planes — ``(n_slabs, 2, step128, f_pad)`` f32, or the
-    host-presplit-equivalent bf16 ``(n_slabs, 2, 2, step128, f_pad)`` under
-    the split4 dial (``lax.reduce_precision`` split — exact same values as
-    the host split; this runs as XLA ops, where the cast-round-trip elision
-    applies, so reduce_precision is mandatory). ~0.1 ms of elementwise work
-    per call at the reference geometry — noise next to the GEMMs."""
+    host-presplit-equivalent bf16 ``(n_slabs, 2, 2, step128, f_pad)`` when
+    the split4 scheme is selected (``split4`` argument; defaults to the
+    global dial — the CQT passes its transform-local scheme,
+    transforms/cqt._slab_scheme_split4). The split uses
+    ``lax.reduce_precision`` — exact same values as the host split; this
+    runs as XLA ops, where the cast-round-trip elision applies, so
+    reduce_precision is mandatory. ~0.1 ms of elementwise work per call at
+    the reference geometry — noise next to the GEMMs."""
     from zaftpu.core.policy import split4_enabled
 
+    if split4 is None:
+        split4 = split4_enabled()
     n_slabs = -(-fft_length // step)
     f_pad = _f_pad(f_channels)
     s128 = _step128(step)
@@ -273,7 +278,7 @@ def slab_ops_traced(m_real, m_imag, step: int, fft_length: int,
                        ((0, 0), (0, s128 - step), (0, 0)))
 
     ops = jnp.stack([prep(m_real), prep(m_imag)], axis=1)
-    if split4_enabled():
+    if split4:
         hi = jax.lax.reduce_precision(ops, exponent_bits=8, mantissa_bits=7)
         ops = jnp.stack([hi, ops - hi], axis=2).astype(jnp.bfloat16)
     return ops

@@ -895,7 +895,8 @@ def imdct_sharded(audio_mdct, window_function, mesh,
 
 @partial(zjit, static_argnames=("step_length", "fft_length", "mesh",
                                    "axis_name", "pads", "block_frames", "t",
-                                   "octave_resolution"))
+                                   "octave_resolution"),
+         scoped_vmem=lambda: _cqt._cqt_wants_vmem())
 def _cqt_core_sharded(padless_signal, m_real, m_imag, step_length,
                       fft_length, mesh, axis_name, pads, block_frames, t,
                       octave_resolution):
@@ -981,7 +982,8 @@ def _tp_padded_kernel(m_real, m_imag, f_pad: int):
 
 
 @partial(zjit, static_argnames=("step_length", "fft_length", "mesh",
-                                   "axis_name", "pads", "block_frames"))
+                                   "axis_name", "pads", "block_frames"),
+         scoped_vmem=lambda: _cqt._cqt_wants_vmem())
 def _cqt_tp_core(padless_signal, m_real, m_imag, step_length, fft_length,
                  mesh, axis_name, pads, block_frames):
     pad_front, body_len, t_pad = pads
