@@ -44,6 +44,7 @@ from zaftpu.viz.display import (
 from zaftpu.config import (StftConfig, MelConfig, CqtConfig, MdctConfig,
                            DispatchConfig)
 from zaftpu.core.policy import compute_dtype
+from zaftpu.utils.fetch import asnumpy
 
 __version__ = "0.1.0"
 
@@ -80,4 +81,5 @@ __all__ = [
     "MdctConfig",
     "DispatchConfig",
     "compute_dtype",
+    "asnumpy",
 ]
