@@ -88,17 +88,21 @@ def test_checkpoint_resume(wav, tmp_path):
 
     with pytest.raises(Boom):
         st.run(progress=fail_after_two)
+    # Blocks 0 and 1 completed + block 2 dispatched speculatively (the
+    # double-buffered pipeline keeps one block in flight; its result is
+    # discarded on crash, the checkpoints are intact).
     done_calls = len(calls)
-    assert done_calls == 2
+    assert done_calls == 3
 
-    # Resume: only the remaining blocks are computed.
+    # Resume: only the remaining (un-checkpointed) blocks are computed.
     out = make().run()
-    assert len(calls) == total_blocks
+    assert len(calls) == done_calls + (total_blocks - 2)
     assert out.shape == (t, WL // 2)
 
     # Third run: everything cached, zero compute.
+    n_after_resume = len(calls)
     make().run()
-    assert len(calls) == total_blocks
+    assert len(calls) == n_after_resume
 
 
 def test_read_span_zero_fill(wav):
@@ -254,9 +258,11 @@ def test_streaming_synthesis_resume(tmp_path):
     ckpt.mkdir()
     with pytest.raises(Boom):
         run(out, ckpt, progress=fail_after_two)
-    assert len(calls) == 2
+    # Blocks 0/1 emitted + block 2 dispatched speculatively (one-block
+    # device prefetch; the speculative result is discarded on crash).
+    assert len(calls) == 3
     n = run(out, ckpt)
-    assert len(calls) == 2 + (len(clean_calls) - 2)
+    assert len(calls) == 3 + (len(clean_calls) - 2)
     assert n == target
     a, _ = zaftpu.wavread(ref)
     b, _ = zaftpu.wavread(out)

@@ -158,8 +158,14 @@ def test_sharded_istft_fused_kernel_matches(monkeypatch):
         functools.partial(psynth.istft_ola, interpret=True))
     monkeypatch.setattr(_sharded, "_mesh_on_tpu", lambda mesh: True)
     ref = np.asarray(zaftpu.istft(spec, win, 256))
+    # Scale-aware closeness, not bitwise: XLA *CPU* executions are not
+    # run-to-run bitwise deterministic under threadpool load (~1 ulp at
+    # data scale — CLAUDE.md); hardware bit-identity is the s13 stage's
+    # gate. The kernel runs per shard, so any real indexing error would be
+    # orders of magnitude above this tolerance.
+    scale = float(np.abs(ref).max())
     for size in (1, 4):
         mesh = make_mesh(size)
         out = np.asarray(istft_sharded(spec, win, 256, mesh))
         assert out.shape == ref.shape
-        np.testing.assert_array_equal(out, ref)
+        np.testing.assert_allclose(out, ref, atol=2e-6 * scale)

@@ -52,11 +52,17 @@ import jax
 
 from zaftpu.config import DispatchConfig
 
-# Scoped-VMEM budget for the raised twin. 32 MiB covers every measured
-# consumer (split4 fused analysis ~19.7M, slab-CQT block 512 ~21.5M, fused
-# synthesis two-component operator ~21M) — same value the slab-CQT twin has
-# run on this hardware since round 4.
-_VMEM_LIMIT_KIB = "32768"
+# Scoped-VMEM budget for the raised twin. 24 MiB covers every measured
+# consumer (split4 fused analysis ~19.7M; the fused synthesis kernels incl.
+# the two-component ISTFT operator). DO NOT raise it further "for slack":
+# the scoped budget steals VMEM from XLA's own buffer pipelining, measured
+# -12% on the split4 fused STFT and -13% on the synthesis kernels at 32768
+# (docs/tpu_results/round5_kernels2.json + the r5k3/r5k4 A/B grids,
+# round-5 hardware session). ZAFTPU_VMEM_LIMIT_KIB overrides (read once at
+# import — the twins are built at decoration time).
+import os as _os
+
+_VMEM_LIMIT_KIB = _os.environ.get("ZAFTPU_VMEM_LIMIT_KIB", "24576")
 
 _BUDGET_RAISED = contextvars.ContextVar("zaftpu_vmem_budget", default=False)
 

@@ -231,8 +231,11 @@ def synthesis_ola(spectra, step: int, gain: float = 1.0):
 
     n = spectra.shape[-2]
     if _fft.direct_engine_enabled(n):
+        from zaftpu.pallas import synth as _synth_mod
+
         fm = jnp.swapaxes(spectra, -1, -2)
         if (synth_kernel_wanted(n, step, jnp.real(fm).dtype, fm.ndim)
+                and _synth_mod.istft_kernel_preferred()
                 and _os.environ.get("ZAFTPU_MIRROR") != "pallas"):
             from zaftpu.pallas import synth as _synth
 

@@ -392,16 +392,18 @@ frames_matmul_full = jax.jit(
 
 def fullspec_enabled() -> bool:
     """``ZAFTPU_FULLSPEC``: dispatch the full-spectrum mirrored-emission
-    kernels for the STFT (``auto`` default — on when the fused dispatch
-    itself is on; ``0`` disables, the A/B lever; ``1`` forces)."""
+    kernels for the STFT. Default OFF — a measured NEGATIVE result on this
+    hardware: the epilogue's lane reversal lowers to ``lax.rev``, which has
+    no Pallas TPU lowering ("Unimplemented primitive in Pallas TPU lowering
+    for KernelType.TC: rev", docs/tpu_results/round5_kernels.json, closing
+    VERDICT round 4 item 5 with the construct-bisect artifact). The kernel
+    stays correct in interpret mode (bitwise gates in tests/test_pallas.py)
+    and ``1`` forces it for future Mosaic versions that may gain the
+    lowering; dispatching it on today's chip would poison the process-wide
+    Pallas health latch through the guarded fallback."""
     import os
 
-    env = os.environ.get("ZAFTPU_FULLSPEC", "auto")
-    if env == "0":
-        return False
-    if env == "1":
-        return True
-    return True
+    return os.environ.get("ZAFTPU_FULLSPEC", "0") == "1"
 
 
 def frames_rfft_full(padded, window, window_length: int, step: int,

@@ -6,28 +6,35 @@ overlap-add. As split programs the frame matrix round-trips HBM between the
 GEMM and the OLA kernel — at 50% overlap that is 2x the signal bytes in
 each direction, the synthesis-side mirror of the traffic the fused analysis
 kernel (pallas/fused.py) eliminates (VERDICT round 4 item 3). This kernel
-computes each output block's contributing frames by GEMM *in VMEM* and
-overlap-adds them before writing, so frames never touch HBM: per grid step
-it DMAs the ``B + pad8`` spectrum rows whose frames overlap the block's
-output rows, runs the dot(s) against the VMEM-resident inverse operator,
-and emits ``B`` rows of finished signal.
+computes each output block's frames by GEMM *in VMEM* and overlap-adds
+them before writing, so frames never touch HBM.
 
-Layout (1-D grid over output row-blocks — the only grid shape the remote
-Mosaic accepts, pallas/fused.py): output row ``r`` (one hop of ``step``
-samples) is ``sum_c frames[r-c, c*step:(c+1)*step]`` for the ``K = N/step``
-chunks; block ``i`` needs frame rows ``[i*B - (K-1), i*B + B)``, fetched
-with the leading ``pad8`` rows 8-aligned and out-of-range rows zeroed via
-static per-step DMA plans (the proven pallas/ola.py edge scheme — zeroed
-*input* rows produce zero frames, which is exactly the out-of-range
-contribution).
+Structure (2nd formulation, measured on hardware): a 1-D grid over frame
+blocks with the spectrum rows arriving through an auto-pipelined BlockSpec
+(Pallas double-buffers the fetch against compute) and a small VMEM *carry*
+scratch holding the previous block's last ``pad8`` frame rows — TPU grid
+iterations execute sequentially, so scratch persists across steps and the
+cross-block overlap costs no extra traffic. The first cut instead manual-
+DMA'd overlapping row windows per step (the ola.py edge scheme): it was
+correct but 10-20% SLOWER than the split GEMM+OLA programs — per-step
+synchronous DMA latency with no compute overlap, the same lesson the
+slab-CQT kernel learned (docs/tpu_results/round5_kernels2.json, arms
+istft_synth_* of 2026-08-20T18:30 vs the v2 rerun).
+
+Output row ``r`` (one hop of ``step`` samples) is
+``sum_c frames[r-c, c*step:(c+1)*step]`` over the ``K = N/step`` chunks —
+same c-ascending, left-associated addition order as pallas/ola.py and the
+XLA pads-sum overlap_add. Block ``i``'s rows need frame rows
+``[i*B - (K-1), i*B + B)``: the first ``K-1`` come from the carry, the rest
+are this block's GEMM output, assembled in a ``(pad8 + B, N)`` frames
+scratch whose row-shifted reads are the hardware-proven cqtslab idiom.
 
 Components: the ISTFT consumes pre-folded Hermitian planes ``(h_re, h_im)``
 against a stacked ``(cos, -sin)`` operator (``frames = h_re @ C - h_im @ S``
-— the negation is folded into the operator, bit-identical since FP negation
-is exact); the IMDCT consumes the coefficient matrix against the single
-window-folded inverse operator. The COLA gain / Parseval scalings are
-folded into the operator columns exactly as on the XLA engine path
-(core/fft._direct_ridft_half_mats ``scale``).
+— the negation folded into the operator is exact); the IMDCT consumes the
+coefficient matrix against the single window-folded inverse operator. The
+COLA gain / Parseval scalings fold into the operator columns exactly as on
+the XLA engine path (core/fft._direct_ridft_half_mats ``scale``).
 
 Precision: the exact path honors the policy dial (HIGHEST default); under
 ``ZAFTPU_PRECISION=split4`` the operator ships host-presplit bf16 (hi, lo)
@@ -53,9 +60,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_ROWS = 128  # output rows (hops) per grid step: keeps the (B+8, N)
-                  # frame intermediate ~1 MB at N=2048 next to the ~19 MB
-                  # two-component operator under the 32 MiB raised budget
+# Frame rows (hops) per grid step, per transform — both measured on the
+# v5e at 600-s scale (r5k4 budget x block grid, round-5 session): the
+# two-component ISTFT wants 128 (2.12M vs 2.05M fr/s at 256 under split4 —
+# the bigger double-buffered h blocks crowd the 19 MB operator); the
+# one-component IMDCT wants 256 (10.6M vs 8.1M at 128 under split4, its
+# 8.4 MB operator leaves room and the taller GEMM amortizes per-step
+# overhead).
+BLOCK_ROWS_ISTFT = 128
+BLOCK_ROWS_IMDCT = 256
+
+
+def _block_rows(default: int) -> int:
+    """``ZAFTPU_SYNTH_BLOCK`` override for hardware block sweeps."""
+    env = os.environ.get("ZAFTPU_SYNTH_BLOCK")
+    if env:
+        try:
+            return max(8, int(env))
+        except ValueError:
+            pass
+    return default
 
 
 def enabled() -> bool:
@@ -73,7 +97,7 @@ def enabled() -> bool:
 def supported(n: int, step: int, dtype, k_minor: int) -> bool:
     """Kernel eligibility: hop lane-aligned (output minor dim), whole
     chunks, f32, and a lane-aligned contraction minor dim for the spectrum
-    DMA (``k_minor`` = the padded spectrum row width)."""
+    blocks (``k_minor`` = the padded spectrum row width)."""
     return (step % 128 == 0 and n % step == 0 and k_minor % 128 == 0
             and jnp.dtype(dtype) == jnp.float32)
 
@@ -111,106 +135,77 @@ def kernel_wanted(n: int, step: int, dtype, ndim: int, n_comp: int,
     return True
 
 
+def istft_kernel_preferred() -> bool:
+    """Measured dispatch policy for the ISTFT (r5k4 grid, v5e 600-s): the
+    kernel wins under split4 (2.12M vs 2.04M fr/s — the 4-pass GEMM blocks
+    XLA's fusion, so removing the frame round trip pays) but LOSES at
+    HIGHEST (1.76M vs 1.84M — the 6-pass dot on 128-row blocks underfills
+    the MXU vs XLA's full-height GEMM + its OLA-kernel tail). The IMDCT
+    kernel wins at BOTH dials (5.99M/10.6M vs 4.98M/4.85M) and has no such
+    gate. ``ZAFTPU_SYNTH=1`` forces."""
+    from zaftpu.core.policy import split4_enabled
+
+    return split4_enabled() or os.environ.get("ZAFTPU_SYNTH") == "1"
+
+
 def _kpad(half: int) -> int:
     return -(-half // 128) * 128
 
 
 def _pad8(k: int) -> int:
-    """Leading VMEM rows for the out-of-range frame rows, rounded to the
-    (8, 128) f32 tiling so every DMA start stays 8-row-aligned."""
+    """Carry rows for the cross-block frame overlap (``K - 1`` needed),
+    rounded to the (8, 128) f32 sublane tiling."""
     return -(-(k - 1) // 8) * 8
 
 
-def _dma_plans(grid_n: int, block: int, pad8: int, t_rows: int):
-    """Static per-step DMA plans {i: (dst_off, src_start, n_rows)} for the
-    steps whose nominal read ``[i*block - pad8, i*block + block)`` leaves
-    ``[0, t_rows)`` — the pallas/ola.py edge scheme."""
-    special = {}
-    rr = block + pad8
-    for idx in range(grid_n):
-        start = idx * block - pad8
-        end = start + rr
-        if start < 0 or end > t_rows:
-            s0 = max(0, start)
-            n_rows = max(0, min(t_rows, end) - s0)
-            special[idx] = (s0 - start, s0, n_rows)
-    return special
-
-
-def _load_rows(i, block: int, pad8: int, special, grid_n: int, src_ref,
-               seg, sem):
-    """DMA this grid step's spectrum rows into ``seg`` (zeroing
-    out-of-range rows on the statically-known edge steps)."""
-    rr = block + pad8
-
-    def emit(dst_off, src_start, n_rows):
-        def body():
-            seg[...] = jnp.zeros(seg.shape, seg.dtype)
-            if n_rows > 0:
-                cp = pltpu.make_async_copy(
-                    src_ref.at[pl.ds(src_start, n_rows), :],
-                    seg.at[pl.ds(dst_off, n_rows)], sem)
-                cp.start()
-                cp.wait()
-        return body
-
-    cond_default = None
-    for idx, plan in special.items():
-        pl.when(i == idx)(emit(*plan))
-        c = i != idx
-        cond_default = c if cond_default is None else jnp.logical_and(
-            cond_default, c)
-
-    def default_body():
-        cp = pltpu.make_async_copy(
-            src_ref.at[pl.ds(i * block - pad8, rr), :], seg, sem)
-        cp.start()
-        cp.wait()
-
-    if len(special) < grid_n:
-        if cond_default is None:
-            default_body()
-        else:
-            pl.when(cond_default)(default_body)
-
-
-def _ola_rows(fr, k: int, block: int, pad8: int, step: int):
-    """Overlap-add the ``(block+pad8, N)`` frame rows into ``(block, step)``
-    output rows: out row j = sum_c fr[j + pad8 - c, c*step:(c+1)*step] —
-    same c-ascending left-associated addition order as pallas/ola.py and
-    the XLA pads-sum overlap_add, so values are identical."""
-    acc = fr[pad8:pad8 + block, 0:step]
+def _ola_rows(frames_scr, k: int, block: int, pad8: int, step: int):
+    """Overlap-add the assembled ``(pad8 + block, N)`` frame rows into
+    ``(block, step)`` output rows: out row j = sum_c scr[j + pad8 - c,
+    c*step:(c+1)*step] — same c-ascending left-associated addition order as
+    pallas/ola.py and the XLA pads-sum overlap_add, so values are
+    identical. The shifted reads are VMEM-ref row slices at unaligned
+    offsets — the hardware-proven cqtslab idiom."""
+    acc = frames_scr[pad8:pad8 + block, 0:step]
     for c in range(1, k):
-        acc = acc + fr[pad8 - c:pad8 - c + block, c * step:(c + 1) * step]
+        acc = acc + frames_scr[pad8 - c:pad8 - c + block,
+                               c * step:(c + 1) * step]
     return acc
 
 
-def _kernel(k: int, block: int, grid_n: int, t_rows: int, step: int,
-            n_comp: int, precision, *refs):
-    """Exact-path kernel: per input component, DMA spectrum rows + one
-    VMEM dot against the resident operator; accumulate frames; OLA; write.
-    refs = (*h_refs, op_ref, out_ref, *segs, sem)."""
-    h_refs = refs[:n_comp]
-    op_ref, out_ref = refs[n_comp], refs[n_comp + 1]
-    segs = refs[n_comp + 2:n_comp + 2 + n_comp]
-    sem = refs[-1]
+def _body(k, block, pad8, step, fr, out_ref, frames_scr, carry):
+    """Shared epilogue: assemble carry + this block's frames in the
+    scratch, emit the output rows, refresh the carry."""
     i = pl.program_id(0)
-    pad8 = _pad8(k)
-    special = _dma_plans(grid_n, block, pad8, t_rows)
+
+    @pl.when(i == 0)
+    def _zero_carry():
+        carry[...] = jnp.zeros(carry.shape, carry.dtype)
+
+    frames_scr[0:pad8, :] = carry[...]
+    frames_scr[pad8:pad8 + block, :] = fr
+    out_ref[:, :] = _ola_rows(frames_scr, k, block, pad8, step)
+    # Last pad8 frame rows of THIS block become the next step's carry
+    # (sequential grid: scratch persists across iterations).
+    carry[...] = frames_scr[block:block + pad8, :]
+
+
+def _kernel(k: int, block: int, pad8: int, step: int, n_comp: int,
+            precision, *refs):
+    h_refs = refs[:n_comp]
+    op_ref, out_ref, frames_scr, carry = refs[n_comp:n_comp + 4]
 
     fr = None
     for c in range(n_comp):
-        _load_rows(i, block, pad8, special, grid_n, h_refs[c], segs[c], sem)
         prod = jax.lax.dot_general(
-            segs[c][...], op_ref[c],
+            h_refs[c][...], op_ref[c],
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32)
         fr = prod if fr is None else fr + prod
-    out_ref[:, :] = _ola_rows(fr, k, block, pad8, step)
+    _body(k, block, pad8, step, fr, out_ref, frames_scr, carry)
 
 
-def _kernel_split4(k: int, block: int, grid_n: int, t_rows: int, step: int,
-                   n_comp: int, use_reduce_precision: bool, *refs):
+def _kernel_split4(k: int, block: int, pad8: int, step: int, n_comp: int,
+                   use_reduce_precision: bool, *refs):
     """split4 twin: spectrum rows split in-kernel into an exact bf16
     (hi, lo) pair (cast round trip on Mosaic — reduce_precision has no
     Pallas TPU lowering; interpret mode needs reduce_precision, where the
@@ -218,12 +213,7 @@ def _kernel_split4(k: int, block: int, grid_n: int, t_rows: int, step: int,
     rules as pallas/fused._kernel_split4), accumulated 4-pass
     smallest-first against the host-presplit operator."""
     h_refs = refs[:n_comp]
-    op_ref, out_ref = refs[n_comp], refs[n_comp + 1]
-    segs = refs[n_comp + 2:n_comp + 2 + n_comp]
-    sem = refs[-1]
-    i = pl.program_id(0)
-    pad8 = _pad8(k)
-    special = _dma_plans(grid_n, block, pad8, t_rows)
+    op_ref, out_ref, frames_scr, carry = refs[n_comp:n_comp + 4]
 
     def mm(x, y):
         return jax.lax.dot_general(
@@ -232,8 +222,7 @@ def _kernel_split4(k: int, block: int, grid_n: int, t_rows: int, step: int,
 
     fr = None
     for c in range(n_comp):
-        _load_rows(i, block, pad8, special, grid_n, h_refs[c], segs[c], sem)
-        a = segs[c][...]
+        a = h_refs[c][...]
         if use_reduce_precision:
             hi = jax.lax.reduce_precision(a, exponent_bits=8,
                                           mantissa_bits=7)
@@ -245,55 +234,65 @@ def _kernel_split4(k: int, block: int, grid_n: int, t_rows: int, step: int,
         bh, bl = op_ref[c, 0], op_ref[c, 1]
         prod = ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
         fr = prod if fr is None else fr + prod
-    out_ref[:, :] = _ola_rows(fr, k, block, pad8, step)
+    _body(k, block, pad8, step, fr, out_ref, frames_scr, carry)
 
 
 def _gemm_ola_impl(h_planes, ops, n: int, step: int, precision,
+                   block_rows: int = BLOCK_ROWS_ISTFT,
                    interpret: bool = False):
     """``overlap_add(sum_c h_planes[c] @ ops[c], step)`` without the frame
     matrix in HBM. ``h_planes``: tuple of ``(T, kpad)`` f32 arrays; ``ops``:
     ``(C, kpad, n)`` f32 (exact) or ``(C, 2, kpad, n)`` bf16 (presplit,
     ``precision="split4"``). Returns the ``(T*step + n - step,)`` signal."""
-    t_rows = h_planes[0].shape[0]
+    t_true = h_planes[0].shape[0]
     k = n // step
     pad8 = _pad8(k)
-    out_rows = t_rows + k - 1
-    block = min(BLOCK_ROWS, -(-out_rows // 8) * 8)
+    out_rows = t_true + k - 1
+    block = min(_block_rows(block_rows), -(-out_rows // 8) * 8)
     grid_n = -(-out_rows // block)
+    # Row-pad the planes to the grid (zero rows -> zero frames -> exact
+    # zero overlap-add contributions), so every auto-pipelined block read
+    # is in bounds.
+    t_pad = grid_n * block
+    h_planes = tuple(
+        jnp.pad(h, ((0, t_pad - t_true), (0, 0))) if h.shape[0] != t_pad
+        else h for h in h_planes)
     n_comp = len(h_planes)
     kpad = h_planes[0].shape[1]
 
     if precision == "split4":
-        kern = functools.partial(_kernel_split4, k, block, grid_n, t_rows,
-                                 step, n_comp, interpret)
+        kern = functools.partial(_kernel_split4, k, block, pad8, step,
+                                 n_comp, interpret)
         op_spec = pl.BlockSpec((n_comp, 2, kpad, n),
                                lambda i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
-        kern = functools.partial(_kernel, k, block, grid_n, t_rows, step,
-                                 n_comp, precision)
+        kern = functools.partial(_kernel, k, block, pad8, step, n_comp,
+                                 precision)
         op_spec = pl.BlockSpec((n_comp, kpad, n), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kern,
         grid=(grid_n,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_comp + [op_spec],
+        in_specs=[pl.BlockSpec((block, kpad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * n_comp
+        + [op_spec],
         out_specs=pl.BlockSpec((block, step), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid_n * block, step), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block + pad8, kpad), jnp.float32)
-            for _ in range(n_comp)
-        ] + [pltpu.SemaphoreType.DMA],
+            pltpu.VMEM((pad8 + block, n), jnp.float32),
+            pltpu.VMEM((pad8, n), jnp.float32),
+        ],
         interpret=interpret,
     )(*h_planes, ops)
-    return out[:out_rows].reshape(-1)[: t_rows * step + n - step]
+    return out[:out_rows].reshape(-1)[: t_true * step + n - step]
 
 
 gemm_ola = jax.jit(
     _gemm_ola_impl,
-    static_argnames=("n", "step", "precision", "interpret"))
+    static_argnames=("n", "step", "precision", "block_rows", "interpret"))
 
 
 @lru_cache(maxsize=8)
@@ -377,7 +376,8 @@ def istft_ola(h_re, h_im, n: int, step: int, scale: float,
     kp = _kpad(n // 2 + 1)
     ops, precision = _dispatch_ops(_istft_ops_padded, n, float(scale))
     return gemm_ola((_pad_lanes(h_re, kp), _pad_lanes(h_im, kp)), ops, n,
-                    step, precision, interpret=interpret)
+                    step, precision, block_rows=BLOCK_ROWS_ISTFT,
+                    interpret=interpret)
 
 
 def imdct_ola(coeffs, f: int, wbytes, interpret: bool = False):
@@ -387,4 +387,4 @@ def imdct_ola(coeffs, f: int, wbytes, interpret: bool = False):
     semantics; the caller applies the reference trim)."""
     ops, precision = _dispatch_ops(_imdct_ops_padded, f, wbytes)
     return gemm_ola((coeffs,), ops, 2 * f, f, precision,
-                    interpret=interpret)
+                    block_rows=BLOCK_ROWS_IMDCT, interpret=interpret)

@@ -447,6 +447,7 @@ def _istft_folded_body(h_re, h_im, window_length, step_length, mesh,
     from zaftpu.pallas import synth as _synth
 
     if (_mesh_on_tpu(mesh)
+            and _synth.istft_kernel_preferred()
             and _synth.kernel_wanted(window_length, step_length,
                                      h_re.dtype, h_re.ndim, 2,
                                      _synth._kpad(window_length // 2 + 1))):

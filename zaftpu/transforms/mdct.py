@@ -171,21 +171,15 @@ def _imdct_synth_wants_vmem():
 
 
 def _imdct_synth_kernel(coeffs, f: int) -> bool:
-    """Dispatch the fused synthesis kernel for the inverse MDCT? Under
-    split4, where the 4-pass GEMM blocks XLA's OLA-into-GEMM epilogue
-    fusion, the one-pass kernel is the measured direction (the split
-    Pallas-OLA already won there, gather_ola2.json); at default precision
-    XLA's fused pads-sum OLA is the incumbent winner (4.96M vs 4.59M
-    frames/s) and the kernel stays opt-in via ``ZAFTPU_SYNTH=1`` pending a
-    hardware A/B."""
-    import os as _os
-
-    from zaftpu.core.policy import split4_enabled
+    """Dispatch the fused synthesis kernel for the inverse MDCT? Yes at
+    BOTH precision dials — the round-5 hardware grid (r5k4, v5e 600-s)
+    measured the one-pass kernel at 5.99M (HIGHEST) / 10.6M (split4)
+    frames/s vs 4.98M / 4.85M for the split GEMM+OLA programs, beating
+    even XLA's OLA-into-GEMM epilogue fusion that won round 4's A/B
+    (gather_ola2.json)."""
     from zaftpu.pallas import synth as _synth
 
-    if not _synth.kernel_wanted(2 * f, f, coeffs.dtype, coeffs.ndim, 1, f):
-        return False
-    return split4_enabled() or _os.environ.get("ZAFTPU_SYNTH") == "1"
+    return _synth.kernel_wanted(2 * f, f, coeffs.dtype, coeffs.ndim, 1, f)
 
 
 @partial(zjit, static_argnames=("wbytes",),
