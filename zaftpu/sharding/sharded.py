@@ -93,6 +93,15 @@ def _bucket_quantum() -> int:
 
 
 def _bucket_t_pad(t_pad: int, n_shards: int) -> int:
+    """Bucket a (shard-divisible) frame count to the retrace-hygiene
+    quantum — SPLIT mode only. In fused mode the program is keyed on the
+    true frame count anyway, so bucket padding buys no trace sharing and
+    costs a minor-axis output slice that XLA materializes as a whole extra
+    copy pass (measured: sharded mel 2.43M fr/s with the bucket slice vs
+    2.69M plain; with t_pad == t the slice is a no-op and XLA elides it —
+    round-5 s13 session)."""
+    if _fuse_enabled():
+        return t_pad
     q = _bucket_quantum()
     if q <= 0:
         return t_pad
@@ -107,7 +116,8 @@ def _plan_body(number_samples: int, pad_front: int, window_length: int,
     Returns ``(t_pad, body_len)`` with ``t_pad % n_shards == 0``,
     ``t_pad >= number_times``, ``body_len = t_pad*step >= pad_front + N``
     (so the halo beyond the body is genuinely zero), and ``t_pad`` bucketed
-    to the retrace-hygiene quantum.
+    to the retrace-hygiene quantum in split mode (exact in fused mode —
+    see :func:`_bucket_t_pad`).
     """
     content = pad_front + number_samples
     t_min = max(number_times, -(-content // step))
@@ -326,10 +336,14 @@ def stft_sharded(audio_signal, window_function, step_length: int, mesh,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     if _fuse_enabled():
+        # No eager prepad in fused mode: the program is keyed on the true
+        # length and pads in-trace — the eager copy was a whole extra pass
+        # over the signal (~0.3 ms at 600 s, round-5 s13 session).
+    
         return _stft_fused(audio_signal, window_function, int(step_length),
                            mesh, axis_name, pads, False, t)
+    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     re_half, im_half = _stft_full_sharded(
         audio_signal, window_function, int(step_length), mesh, axis_name,
         pads, False)
@@ -347,10 +361,14 @@ def spectrogram_sharded(audio_signal, window_function, step_length: int,
     wl = window_function.shape[0]
     t, pads = _stft_plan(audio_signal.shape[-1], wl, int(step_length), mesh,
                          axis_name)
-    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     if _fuse_enabled():
+        # No eager prepad in fused mode: the program is keyed on the true
+        # length and pads in-trace — the eager copy was a whole extra pass
+        # over the signal (~0.3 ms at 600 s, round-5 s13 session).
+    
         return _stft_fused(audio_signal, window_function, int(step_length),
                            mesh, axis_name, pads, True, t)
+    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     mag = _stft_full_sharded(audio_signal, window_function,
                              int(step_length), mesh, axis_name, pads, True)
     return _transpose_slice(mag, t)
@@ -596,8 +614,9 @@ def melspectrogram_sharded(audio_signal, window_function, step_length: int,
     # so sharded == single-device holds under the bf16 dial too.
     op_dtype = _policy.operator_dtype(audio_signal.dtype,
                                       transform="melspectrogram")
-    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     fused = _fuse_enabled()
+    if not fused:
+        audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     out = _mel_full_sharded(audio_signal, window_function,
                             device_constant(
                                 np.ascontiguousarray(fbank.T), op_dtype),
@@ -623,8 +642,9 @@ def mfcc_sharded(audio_signal, window_function, step_length: int,
                          axis_name)
     # Same roofline exemption as the unsharded transform (policy.BF16_EXEMPT).
     op_dtype = _policy.operator_dtype(audio_signal.dtype, transform="mfcc")
-    audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     fused = _fuse_enabled()
+    if not fused:
+        audio_signal = _prepad_tail(audio_signal, pads[1] - pads[0])
     out = _mel_full_sharded(audio_signal, window_function,
                             device_constant(
                                 np.ascontiguousarray(fbank.T), op_dtype),
@@ -749,8 +769,10 @@ def mdct_sharded(audio_signal, window_function, mesh,
     t_pad, body_len = _plan_body(n, step, wl, step, t, mesh.shape[axis_name])
     from zaftpu.utils.devcache import as_device_constant, device_constant
 
-    audio_signal = _prepad_tail(audio_signal, body_len - step)
     fused = _fuse_enabled()
+    if not fused:
+        # Fused mode pads in-trace (the eager copy is a whole extra pass).
+        audio_signal = _prepad_tail(audio_signal, body_len - step)
     if _fft.direct_engine_enabled(wl):
         out = _mdct_full_sharded_direct(
             audio_signal, as_device_constant(window_function),
