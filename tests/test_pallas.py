@@ -429,3 +429,29 @@ def test_fullspec_stft_dispatch_matches_xla(monkeypatch):
     out = np.asarray(zaftpu.stft(sig, win, 1024))
     assert out.shape == ref.shape
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("prec", ["highest", "split4"])
+def test_fused2_two_output_matches_per_component(monkeypatch, prec):
+    """The two-output single-call analysis kernel (frames formed once)
+    must match the per-component formulation in both precision schemes."""
+    from zaftpu.pallas import fused as pfused
+
+    monkeypatch.setenv("ZAFTPU_PRECISION", prec)
+    wl, step, t = 2048, 1024, 93
+    rng = np.random.default_rng(21)
+    padded = rng.standard_normal(t * step + wl - step).astype(np.float32)
+    win = hamming(wl).astype(np.float32)
+    ref = pfused.frames_rfft(jnp.asarray(padded), jnp.asarray(win), wl,
+                             step, t, interpret=True)
+    monkeypatch.setenv("ZAFTPU_FUSED2", "1")
+    out = pfused.frames_rfft(jnp.asarray(padded), jnp.asarray(win), wl,
+                             step, t, interpret=True)
+    assert out.shape == ref.shape
+    scale = float(np.abs(np.asarray(jnp.real(ref))).max())
+    np.testing.assert_allclose(np.asarray(jnp.real(out)),
+                               np.asarray(jnp.real(ref)),
+                               atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(jnp.imag(out)),
+                               np.asarray(jnp.imag(ref)),
+                               atol=1e-6 * scale)

@@ -139,6 +139,7 @@ class DispatchConfig:
     mirror_strategy: str = "rev"
     pallas: str = "auto"
     fused: str = ""
+    fused2: str = ""
     fullspec: str = ""
     synth: str = ""
     sharded_fuse: str = ""
@@ -163,6 +164,7 @@ class DispatchConfig:
             mirror_strategy=os.environ.get("ZAFTPU_MIRROR_STRATEGY", "rev"),
             pallas=os.environ.get("ZAFTPU_PALLAS", "auto"),
             fused=os.environ.get("ZAFTPU_FUSED", ""),
+            fused2=os.environ.get("ZAFTPU_FUSED2", ""),
             fullspec=os.environ.get("ZAFTPU_FULLSPEC", ""),
             synth=os.environ.get("ZAFTPU_SYNTH", ""),
             sharded_fuse=os.environ.get("ZAFTPU_SHARDED_FUSE", ""),

@@ -164,9 +164,12 @@ def zjit(fn=None, *, static_argnames=(), scoped_vmem=None):
 def _wants_scoped_vmem() -> bool:
     """Default twin predicate: the split4 Pallas consumers (the fused
     analysis kernel ~19.7M scoped; the slab-CQT kernel, which dispatches
-    regardless of ZAFTPU_FUSED). Only consulted for a top-level jit — the
-    wrapper handles the nested-trace case."""
+    regardless of ZAFTPU_FUSED), plus the two-output analysis kernel's
+    stacked operator when that dispatch is forced. Only consulted for a
+    top-level jit — the wrapper handles the nested-trace case."""
     from zaftpu import pallas as _pallas
     from zaftpu.core.policy import split4_enabled
+    from zaftpu.pallas.fused import fused2_wants_budget
 
-    return split4_enabled() and _pallas.enabled()
+    return ((split4_enabled() and _pallas.enabled())
+            or fused2_wants_budget())

@@ -181,6 +181,50 @@ def _kernel_full_split4(k: int, block: int, use_reduce_precision: bool,
     out_ref[:, :] = _mirror_epilogue(half_res, n, half, sign)
 
 
+def _kernel2(k: int, block: int, precision, sig_ref, win_ref, op_ref,
+             out_re_ref, out_im_ref, seg, frames, sem):
+    """Two-output twin of :func:`_kernel`: ONE pallas_call forms the
+    windowed frames once and runs both component dots against the stacked
+    VMEM-resident operator — the per-component formulation duplicates the
+    framing (signal DMA + window multiply) per call. Hardware A/B in
+    docs/tpu_results/round5_fused2.json decides the dispatch."""
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+
+    def dot(op):
+        return jax.lax.dot_general(
+            frames[:, :], op,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+
+    out_re_ref[:, :] = dot(op_ref[0])
+    out_im_ref[:, :] = dot(op_ref[1])
+
+
+def _kernel2_split4(k: int, block: int, use_reduce_precision: bool,
+                    sig_ref, win_ref, op_ref, out_re_ref, out_im_ref, seg,
+                    frames, sem):
+    """Two-output split4 twin: frames form and split ONCE; both components'
+    4-pass dots run against the presplit stacked operator."""
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+    fr = frames[:, :]
+    if use_reduce_precision:
+        hi = jax.lax.reduce_precision(fr, exponent_bits=8, mantissa_bits=7)
+        ah = hi.astype(jnp.bfloat16)
+        al = (fr - hi).astype(jnp.bfloat16)
+    else:
+        ah = fr.astype(jnp.bfloat16)
+        al = (fr - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    for c, out_ref in ((0, out_re_ref), (1, out_im_ref)):
+        bh, bl = op_ref[c, 0], op_ref[c, 1]
+        out_ref[:, :] = ((mm(al, bl) + mm(al, bh)) + mm(ah, bl)) + mm(ah, bh)
+
+
 def _kernel_split4(k: int, block: int, use_reduce_precision: bool, sig_ref,
                    win_ref, op_ref, out_ref, seg, frames, sem):
     """4-pass bf16-split dot (policy._split4_matmul in VMEM): operator
@@ -277,6 +321,84 @@ def _frames_matmul_impl(padded, window, ops, window_length: int, step: int,
 
     out = jnp.stack([one_component(ops[c]) for c in range(n_comp)])
     return out[:, :number_times, :]
+
+
+def fused2_enabled() -> bool:
+    """``ZAFTPU_FUSED2``: the two-output single-call analysis kernel
+    (frames form once for both components). ``1`` forces, ``0``/unset
+    disables — default follows the hardware A/B verdict recorded in
+    docs/tpu_results/round5_fused2.json."""
+    import os
+
+    return os.environ.get("ZAFTPU_FUSED2", "0") == "1"
+
+
+def fused2_wants_budget() -> bool:
+    """The stacked two-component operator (~19 MB at WL=2048) exceeds the
+    default scoped budget in BOTH precision schemes — the dispatch twin
+    must be engaged whenever the two-output kernel can enter a trace."""
+    from zaftpu import pallas as _pallas
+
+    return fused2_enabled() and _pallas.enabled()
+
+
+def _frames_matmul2_impl(padded, window, ops, window_length: int,
+                         step: int, number_times: int, precision,
+                         interpret: bool = False):
+    """Two-output twin of :func:`_frames_matmul_impl`: one pallas_call,
+    both component planes emitted — the framing (signal DMA + window
+    multiply) runs once instead of once per component."""
+    k = window_length // step
+    block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
+    t_pad = block * (-(-number_times // block))
+    rows = t_pad - block + _read_rows(block, k)
+    need = rows * step
+    padded = padded[:need]
+    if padded.shape[0] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[0]))
+    sig2d = padded.reshape(rows, step)
+    win2d = window.reshape(k, step).astype(padded.dtype)
+    split4 = precision == "split4"
+    f_pad = ops.shape[-1]
+
+    if split4:
+        kern = functools.partial(_kernel2_split4, k, block, interpret)
+        op_spec = pl.BlockSpec((2, 2, window_length, f_pad),
+                               lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        kern = functools.partial(_kernel2, k, block, precision)
+        op_spec = pl.BlockSpec((2, window_length, f_pad),
+                               lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+
+    out_block = pl.BlockSpec((block, f_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    re, im = pl.pallas_call(
+        kern,
+        grid=(t_pad // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k, step), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            op_spec,
+        ],
+        out_specs=[out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, f_pad), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((_read_rows(block, k), step), padded.dtype),
+            pltpu.VMEM((block, window_length), padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sig2d, win2d, ops)
+    return re[:number_times], im[:number_times]
+
+
+frames_matmul2 = jax.jit(
+    _frames_matmul2_impl,
+    static_argnames=("window_length", "step", "number_times", "precision",
+                     "interpret"))
 
 
 # NOTE on the round-3 "split4 fused kernel Mosaic 500 at production grid
@@ -422,8 +544,16 @@ def frames_rfft(padded, window, window_length: int, step: int,
                 number_times: int, interpret: bool = False):
     """Fused windowed-frames rfft: ``(T, WL//2+1)`` complex64 half-spectrum
     in a single HBM pass over the signal (no frame materialization)."""
+    from zaftpu.core.dispatch import budget_raised
+
     f = window_length // 2 + 1
     ops, precision = _dispatch_ops(_rdft_ops_padded, window_length)
+    if fused2_enabled() and (interpret or budget_raised()
+                             or jax.default_backend() != "tpu"):
+        re, im = frames_matmul2(padded, window, ops, window_length, step,
+                                number_times, precision,
+                                interpret=interpret)
+        return jax.lax.complex(re[:, :f], im[:, :f])
     out = frames_matmul(padded, window, ops, window_length, step,
                         number_times, precision, interpret=interpret)
     return jax.lax.complex(out[0, :, :f], out[1, :, :f])
