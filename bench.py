@@ -448,10 +448,15 @@ def _measure_sharded_ratios(timeout_s):
     """1-device-mesh sharded/plain throughput ratios for the five core
     transforms at 600-s scale (the s13 gate) — ≥0.95 is the round-5 bar on
     the ≥90%-linear-scaling north star (VERDICT round 4 items 1/6)."""
-    stage = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "scripts", "tpu_stages", "s13_sharded_tpu.py")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    stage = os.path.join(repo, "scripts", "tpu_stages",
+                         "s13_sharded_tpu.py")
+    env = dict(os.environ)
+    # The stage runs with its own dir as sys.path[0]; the package import
+    # needs the repo root (keep any existing entries, e.g. the axon site).
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     try:
-        proc = subprocess.run([sys.executable, stage], env=dict(os.environ),
+        proc = subprocess.run([sys.executable, stage], env=env,
                               capture_output=True, text=True,
                               timeout=timeout_s)
     except subprocess.TimeoutExpired:

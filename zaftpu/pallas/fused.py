@@ -325,9 +325,17 @@ def _frames_matmul_impl(padded, window, ops, window_length: int, step: int,
 
 def fused2_enabled() -> bool:
     """``ZAFTPU_FUSED2``: the two-output single-call analysis kernel
-    (frames form once for both components). ``1`` forces, ``0``/unset
-    disables — default follows the hardware A/B verdict recorded in
-    docs/tpu_results/round5_fused2.json."""
+    (frames form once for both components). Default OFF — a measured
+    NEGATIVE result (docs/tpu_results/round5_fused2.json): the kernel
+    compiles and runs standalone at every probed scale, but the FULL stft
+    program around it (mirror + complex + transpose downstream) overflows
+    the 24576 KiB scoped-VMEM stack that is globally optimal ("Ran out of
+    memory in memory space vmem while allocating on stack for
+    %_frames_matmul2_impl"), and raising the budget to fit costs more
+    than the saved framing pass is worth (32768 measured −12% framework-
+    wide). The ~19 MB stacked operator is the structural cost of holding
+    both components resident. ``1`` forces (the guarded fallback covers
+    the OOM)."""
     import os
 
     return os.environ.get("ZAFTPU_FUSED2", "0") == "1"
