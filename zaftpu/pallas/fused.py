@@ -50,6 +50,19 @@ BLOCK_FRAMES = 128  # frames per grid step (VMEM budget: ~9 MB operator +
                     # ~1 MB frames scratch + segment + output block)
 
 
+def _block_frames() -> int:
+    """``ZAFTPU_FUSED_BLOCK`` override for hardware block sweeps."""
+    import os
+
+    env = os.environ.get("ZAFTPU_FUSED_BLOCK")
+    if env:
+        try:
+            return max(8, int(env))
+        except ValueError:
+            pass
+    return BLOCK_FRAMES
+
+
 def supported(window_length: int, step: int, dtype) -> bool:
     return (step % 128 == 0 and window_length % step == 0
             and dtype == jnp.float32)
@@ -277,7 +290,7 @@ def _frames_matmul_impl(padded, window, ops, window_length: int, step: int,
     docs/tpu_results/fused_probe.json).
     """
     k = window_length // step
-    block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
+    block = min(_block_frames(), -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
     rows = t_pad - block + _read_rows(block, k)
     need = rows * step
@@ -357,7 +370,7 @@ def _frames_matmul2_impl(padded, window, ops, window_length: int,
     both component planes emitted — the framing (signal DMA + window
     multiply) runs once instead of once per component."""
     k = window_length // step
-    block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
+    block = min(_block_frames(), -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
     rows = t_pad - block + _read_rows(block, k)
     need = rows * step
