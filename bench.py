@@ -439,7 +439,15 @@ def _supervise():
     if remaining > 360 and best["config"].startswith("TPU"):
         best["sharded_ratio"] = _measure_sharded_ratios(
             min(420, int(remaining - 120)))
-    best["dryrun_multichip_ok"] = _check_dryrun(timeout_s=420)
+    remaining = deadline - time.monotonic()
+    if remaining > 150:
+        best["dryrun_multichip_ok"] = _check_dryrun(
+            timeout_s=min(420, int(remaining - 30)))
+    else:
+        # Never overrun the caller's deadline for an informational field —
+        # a kill mid-step would discard the banked headline measurement.
+        best["dryrun_multichip_ok"] = None
+        log(f"deadline too close ({remaining:.0f}s) for the dryrun check")
     print(json.dumps(best))
     return 0
 

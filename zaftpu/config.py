@@ -144,6 +144,15 @@ class DispatchConfig:
     synth: str = ""
     sharded_fuse: str = ""
     cqt_scheme: str = "auto"
+    # Set by the zjit wrapper per call (dataclasses.replace), NOT read from
+    # the environment here: whether the raised scoped-VMEM budget applies
+    # to the trace — consulted at trace time by kernel dispatch
+    # (dispatch.budget_raised), so it must key the cache.
+    budget: bool = False
+    # Probe-only block-size levers, still trace-time inputs (CLAUDE.md
+    # trace-coherence rule: every flag a trace consults keys the cache).
+    fused_block: str = ""
+    synth_block: str = ""
     precision: str = "highest"
     matmul_dtype: str = ""
 
@@ -173,6 +182,8 @@ class DispatchConfig:
             # explicitly pinned vs defaulted — transforms/cqt).
             cqt_scheme=os.environ.get("ZAFTPU_CQT_SCHEME", "auto") + (
                 ":pinned" if os.environ.get("ZAFTPU_PRECISION") else ""),
+            fused_block=os.environ.get("ZAFTPU_FUSED_BLOCK", ""),
+            synth_block=os.environ.get("ZAFTPU_SYNTH_BLOCK", ""),
             precision=os.environ.get("ZAFTPU_PRECISION", "highest").lower(),
             matmul_dtype=("bfloat16"
                           if _policy.matmul_dtype() is not None else ""),

@@ -134,6 +134,8 @@ def zjit(fn=None, *, static_argnames=(), scoped_vmem=None):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        import dataclasses
+
         from zaftpu.utils.devcache import _tracing_active
 
         snapshot = DispatchConfig.current()
@@ -141,9 +143,15 @@ def zjit(fn=None, *, static_argnames=(), scoped_vmem=None):
             # Nested in an outer trace (ours or a user's): the plain twin
             # inlines and the enclosing budget state — set by OUR outer
             # wrapper, or False under a user jit — stays authoritative.
-            # Do not touch the context variable.
+            # Do not touch the context variable; DO key the nested trace
+            # on it (budget_raised() is consulted at trace time by kernel
+            # dispatch, so a trace cached under one budget state must not
+            # replay under the other — the zjit trace-coherence rule).
+            snapshot = dataclasses.replace(snapshot,
+                                           budget=_BUDGET_RAISED.get())
             return jitted(*args, _dispatch=snapshot, **kwargs)
         use_vmem = jax.default_backend() == "tpu" and bool(wants())
+        snapshot = dataclasses.replace(snapshot, budget=use_vmem)
         j = jitted_vmem if use_vmem else jitted
         token = _BUDGET_RAISED.set(use_vmem)
         try:

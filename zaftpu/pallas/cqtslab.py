@@ -142,12 +142,15 @@ def register_kernel(kern_key, m_real: np.ndarray, m_imag: np.ndarray):
     hashable key so the lru-cached slab builder (and the device-constant
     pinning keyed on it) stays identity-stable. FIFO-bounded at
     :data:`_REGISTRY_LIMIT` entries (ADVICE round 4, low #5)."""
+    if kern_key in _REGISTRY:
+        # Re-registering a key with (possibly) new planes must invalidate
+        # the lru-cached slabs built from the old ones — and needs no
+        # eviction, the dict does not grow.
+        _REGISTRY.pop(kern_key)
+        _slab_ops_host.cache_clear()
+        _slab_ops_host_split.cache_clear()
     while len(_REGISTRY) >= _REGISTRY_LIMIT:
-        stale = next(iter(_REGISTRY))
-        if stale == kern_key:
-            _REGISTRY.pop(stale)
-            continue
-        _REGISTRY.pop(stale)
+        _REGISTRY.pop(next(iter(_REGISTRY)))
         _slab_ops_host.cache_clear()
         _slab_ops_host_split.cache_clear()
     _REGISTRY[kern_key] = (np.asarray(m_real, np.float32),

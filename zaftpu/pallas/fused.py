@@ -278,6 +278,7 @@ def _kernel_split4(k: int, block: int, use_reduce_precision: bool, sig_ref,
 
 def _frames_matmul_impl(padded, window, ops, window_length: int, step: int,
                         number_times: int, precision,
+                        block_frames: int = BLOCK_FRAMES,
                         interpret: bool = False):
     """``windowed_frames(padded) @ ops[c]`` for each stacked operator
     component, without materializing the frames in HBM.
@@ -290,7 +291,7 @@ def _frames_matmul_impl(padded, window, ops, window_length: int, step: int,
     docs/tpu_results/fused_probe.json).
     """
     k = window_length // step
-    block = min(_block_frames(), -(-number_times // 8) * 8)
+    block = min(block_frames, -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
     rows = t_pad - block + _read_rows(block, k)
     need = rows * step
@@ -365,12 +366,13 @@ def fused2_wants_budget() -> bool:
 
 def _frames_matmul2_impl(padded, window, ops, window_length: int,
                          step: int, number_times: int, precision,
+                         block_frames: int = BLOCK_FRAMES,
                          interpret: bool = False):
     """Two-output twin of :func:`_frames_matmul_impl`: one pallas_call,
     both component planes emitted — the framing (signal DMA + window
     multiply) runs once instead of once per component."""
     k = window_length // step
-    block = min(_block_frames(), -(-number_times // 8) * 8)
+    block = min(block_frames, -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
     rows = t_pad - block + _read_rows(block, k)
     need = rows * step
@@ -419,7 +421,7 @@ def _frames_matmul2_impl(padded, window, ops, window_length: int,
 frames_matmul2 = jax.jit(
     _frames_matmul2_impl,
     static_argnames=("window_length", "step", "number_times", "precision",
-                     "interpret"))
+                     "block_frames", "interpret"))
 
 
 # NOTE on the round-3 "split4 fused kernel Mosaic 500 at production grid
@@ -435,7 +437,7 @@ frames_matmul2 = jax.jit(
 frames_matmul = jax.jit(
     _frames_matmul_impl,
     static_argnames=("window_length", "step", "number_times", "precision",
-                     "interpret"))
+                     "block_frames", "interpret"))
 
 
 def _dispatch_ops(ops_padded_fn, n: int):
@@ -472,6 +474,7 @@ def _split_ops_of(ops_padded_fn, n: int):
 
 def _frames_matmul_full_impl(padded, window, ops, window_length: int,
                              step: int, number_times: int, precision,
+                             block_frames: int = BLOCK_FRAMES,
                              interpret: bool = False):
     """Full-spectrum twin of :func:`_frames_matmul_impl`: same half-spectrum
     operator and dots, but each component's kernel writes the ``(T, WL)``
@@ -479,7 +482,7 @@ def _frames_matmul_full_impl(padded, window, ops, window_length: int,
     n = window_length
     half = n // 2 + 1
     k = n // step
-    block = min(BLOCK_FRAMES, -(-number_times // 8) * 8)
+    block = min(block_frames, -(-number_times // 8) * 8)
     t_pad = block * (-(-number_times // block))
     rows = t_pad - block + _read_rows(block, k)
     need = rows * step
@@ -530,7 +533,7 @@ def _frames_matmul_full_impl(padded, window, ops, window_length: int,
 frames_matmul_full = jax.jit(
     _frames_matmul_full_impl,
     static_argnames=("window_length", "step", "number_times", "precision",
-                     "interpret"))
+                     "block_frames", "interpret"))
 
 
 def fullspec_enabled() -> bool:
@@ -558,7 +561,9 @@ def frames_rfft_full(padded, window, window_length: int, step: int,
     copies/negations of the same dot outputs)."""
     ops, precision = _dispatch_ops(_rdft_ops_padded, window_length)
     return frames_matmul_full(padded, window, ops, window_length, step,
-                              number_times, precision, interpret=interpret)
+                              number_times, precision,
+                              block_frames=_block_frames(),
+                              interpret=interpret)
 
 
 def frames_rfft(padded, window, window_length: int, step: int,
@@ -573,10 +578,12 @@ def frames_rfft(padded, window, window_length: int, step: int,
                              or jax.default_backend() != "tpu"):
         re, im = frames_matmul2(padded, window, ops, window_length, step,
                                 number_times, precision,
+                                block_frames=_block_frames(),
                                 interpret=interpret)
         return jax.lax.complex(re[:, :f], im[:, :f])
     out = frames_matmul(padded, window, ops, window_length, step,
-                        number_times, precision, interpret=interpret)
+                        number_times, precision,
+                        block_frames=_block_frames(), interpret=interpret)
     return jax.lax.complex(out[0, :, :f], out[1, :, :f])
 
 
@@ -589,5 +596,6 @@ def frames_op(padded, window, ops_padded_fn, n_cols: int,
     lru-cached host builder returning ``(1, WL, F_pad)`` float32."""
     ops, precision = _dispatch_ops(ops_padded_fn, window_length)
     out = frames_matmul(padded, window, ops, window_length, step,
-                        number_times, precision, interpret=interpret)
+                        number_times, precision,
+                        block_frames=_block_frames(), interpret=interpret)
     return out[0, :, :n_cols]

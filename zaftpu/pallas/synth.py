@@ -96,10 +96,22 @@ def enabled() -> bool:
 
 def supported(n: int, step: int, dtype, k_minor: int) -> bool:
     """Kernel eligibility: hop lane-aligned (output minor dim), whole
-    chunks, f32, and a lane-aligned contraction minor dim for the spectrum
-    blocks (``k_minor`` = the padded spectrum row width)."""
-    return (step % 128 == 0 and n % step == 0 and k_minor % 128 == 0
+    chunks with a real overlap (``K >= 2`` — at K=1 the OLA is a plain
+    reshape and the carry scratch would be zero-row, which Mosaic has no
+    reason to accept; the split path handles it), f32, and a lane-aligned
+    contraction minor dim for the spectrum blocks (``k_minor`` = the
+    padded spectrum row width)."""
+    return (step % 128 == 0 and n % step == 0 and n // step >= 2
+            and k_minor % 128 == 0
             and jnp.dtype(dtype) == jnp.float32)
+
+
+# Largest operator the kernel will stage in VMEM: the raised scoped budget
+# is 24576 KiB and the r5k4 grid ran the ~19 MB ISTFT stack healthily; a
+# bigger-window geometry (e.g. WL=4096: 33.5-71 MB) must fall back to the
+# split path instead of OOMing the scoped stack and poisoning the
+# process-wide Pallas health latch through the guarded retry.
+_MAX_OP_BYTES = 20 * 2**20
 
 
 def wants_budget() -> bool:
@@ -128,7 +140,10 @@ def kernel_wanted(n: int, step: int, dtype, ndim: int, n_comp: int,
         return False
     if not supported(n, step, dtype, kpad):
         return False
-    need_budget = n_comp * kpad * n * 4 > 12 * 2**20
+    op_bytes = n_comp * kpad * n * 4  # f32; the bf16 presplit is the same
+    if op_bytes > _MAX_OP_BYTES:
+        return False  # would OOM even the raised scoped stack
+    need_budget = op_bytes > 12 * 2**20
     if (need_budget and _jax.default_backend() == "tpu"
             and not budget_raised()):
         return os.environ.get("ZAFTPU_SYNTH") == "1"
@@ -248,7 +263,7 @@ def _gemm_ola_impl(h_planes, ops, n: int, step: int, precision,
     k = n // step
     pad8 = _pad8(k)
     out_rows = t_true + k - 1
-    block = min(_block_rows(block_rows), -(-out_rows // 8) * 8)
+    block = min(block_rows, -(-out_rows // 8) * 8)
     grid_n = -(-out_rows // block)
     # Row-pad the planes to the grid (zero rows -> zero frames -> exact
     # zero overlap-add contributions), so every auto-pipelined block read
@@ -376,7 +391,8 @@ def istft_ola(h_re, h_im, n: int, step: int, scale: float,
     kp = _kpad(n // 2 + 1)
     ops, precision = _dispatch_ops(_istft_ops_padded, n, float(scale))
     return gemm_ola((_pad_lanes(h_re, kp), _pad_lanes(h_im, kp)), ops, n,
-                    step, precision, block_rows=BLOCK_ROWS_ISTFT,
+                    step, precision,
+                    block_rows=_block_rows(BLOCK_ROWS_ISTFT),
                     interpret=interpret)
 
 
@@ -387,4 +403,5 @@ def imdct_ola(coeffs, f: int, wbytes, interpret: bool = False):
     semantics; the caller applies the reference trim)."""
     ops, precision = _dispatch_ops(_imdct_ops_padded, f, wbytes)
     return gemm_ola((coeffs,), ops, 2 * f, f, precision,
-                    block_rows=BLOCK_ROWS_IMDCT, interpret=interpret)
+                    block_rows=_block_rows(BLOCK_ROWS_IMDCT),
+                    interpret=interpret)
