@@ -169,3 +169,27 @@ def test_sharded_istft_fused_kernel_matches(monkeypatch):
         out = np.asarray(istft_sharded(spec, win, 256, mesh))
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=2e-6 * scale)
+
+def test_kernel_wanted_bounds(monkeypatch):
+    """Eligibility guards: operators beyond the raised scoped budget and
+    K=1 (no overlap) geometries must NOT dispatch — they would OOM the
+    scoped stack / hit a zero-row carry and poison the process-wide Pallas
+    health latch through the guarded retry."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setenv("ZAFTPU_SYNTH", "1")
+    # WL=2048 ISTFT stack (~18.9 MB): eligible.
+    assert psynth.kernel_wanted(2048, 1024, jnp.float32, 2, 2,
+                                psynth._kpad(1025))
+    # WL=4096 ISTFT stack (~2*2176*4096*4 = 71 MB): over the bound.
+    assert not psynth.kernel_wanted(4096, 2048, jnp.float32, 2, 2,
+                                    psynth._kpad(2049))
+    # F=2048 IMDCT operator (33.5 MB): over the bound.
+    assert not psynth.kernel_wanted(4096, 2048, jnp.float32, 2, 1, 2048)
+    # K=1 (step == n): no overlap, the split path owns it.
+    assert not psynth.kernel_wanted(1024, 1024, jnp.float32, 2, 2,
+                                    psynth._kpad(513))
+    # Batched input: kernel is 2-D only.
+    assert not psynth.kernel_wanted(2048, 1024, jnp.float32, 3, 2,
+                                    psynth._kpad(1025))
