@@ -125,12 +125,21 @@ def main():
     out["health_after_fullspec_tiny"] = health_probe("fullspec-tiny")
 
     try:
+        import functools
+
         t = 64
         h_re = jnp.asarray(
             rng.standard_normal((t, WL // 2 + 1)).astype(np.float32))
         h_im = jnp.asarray(
             rng.standard_normal((t, WL // 2 + 1)).astype(np.float32))
-        got = psynth.istft_ola(h_re, h_im, WL, STEP, 0.5)
+        # Top-level jit with the raised scoped budget — the production
+        # dispatch provides it via the zjit twin; a bare call would OOM the
+        # default 16 MiB stack on the ~19 MB operator and misreport the
+        # construct as rejected.
+        run = functools.partial(jax.jit, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": "24576"})(
+            lambda a, b: psynth.istft_ola(a, b, WL, STEP, 0.5))
+        got = run(h_re, h_im)
         from zaftpu.core import fft as cfft
         from zaftpu.core import frame as cframe
 
