@@ -397,6 +397,10 @@ def _cqt_magnitudes_body_vmem(padded, ops, step_length, fft_length,
 _STATICS = ("step_length", "fft_length", "number_times", "f_channels",
             "block", "interpret")
 _cqt_jit_plain = jax.jit(_cqt_magnitudes_body, static_argnames=_STATICS)
+# 24576 KiB, matching the dispatch twin: block 512 needs ~21.5M and larger
+# budgets steal XLA pipelining VMEM (measured -12% on other kernels at
+# 32768 — docs/perf.md round 5; production CQT rides the zjit twin at the
+# same value, 1.17M frames/s).
 _cqt_jit_vmem = jax.jit(
     _cqt_magnitudes_body_vmem, static_argnames=_STATICS,
-    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"})
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "24576"})
