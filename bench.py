@@ -378,7 +378,9 @@ def _supervise():
     # Once a TPU number is banked, reserve a tail slice for the
     # scaling-readiness steps (sharded ratios + dryrun) so they make it
     # into the artifact; with no result yet the rungs keep priority.
-    tail_reserve = 450
+    # Sized for the measured tail: ratios ~6 min cold (parity-skipped,
+    # compile-cached when warm) + dryrun ~1 min.
+    tail_reserve = 560
 
     results = []
     queue = [(label, extra, t, 0) for label, extra, t in ladder]
@@ -437,8 +439,17 @@ def _supervise():
     # the headline measurement.
     remaining = deadline - time.monotonic()
     if remaining > 360 and best["config"].startswith("TPU"):
-        best["sharded_ratio"] = _measure_sharded_ratios(
-            min(420, int(remaining - 120)))
+        ratios = _measure_sharded_ratios(min(480, int(remaining - 90)))
+        if ratios is not None:
+            best["sharded_ratio"] = ratios
+            best["sharded_ratio_source"] = "live"
+        else:
+            # The live step's compiles alone run ~7 min through the tunnel
+            # and can outlive the tail budget; fall back to the committed
+            # stage artifact with explicit provenance rather than dropping
+            # the scaling evidence.
+            best["sharded_ratio"] = _artifact_sharded_ratios()
+            best["sharded_ratio_source"] = "artifact:sharded_tpu.json"
     remaining = deadline - time.monotonic()
     if remaining > 150:
         best["dryrun_multichip_ok"] = _check_dryrun(
@@ -463,6 +474,10 @@ def _measure_sharded_ratios(timeout_s):
     # The stage runs with its own dir as sys.path[0]; the package import
     # needs the repo root (keep any existing entries, e.g. the axon site).
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # Ratios only: the stage's full-output parity fetches move hundreds of
+    # MB through the tunnel and can outlive the tail budget; parity stays
+    # gated by the standalone s13 artifact runs.
+    env["S13_SKIP_PARITY"] = "1"
     try:
         proc = subprocess.run([sys.executable, stage], env=env,
                               capture_output=True, text=True,
@@ -485,6 +500,22 @@ def _measure_sharded_ratios(timeout_s):
             return ratios
     log("sharded-ratio measurement produced no parseable result")
     return None
+
+
+def _artifact_sharded_ratios():
+    """Ratios from the committed s13 stage artifact (the authoritative,
+    parity-gated measurement), used when the live tail step cannot fit the
+    bench window."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs",
+                        "tpu_results", "sharded_tpu.json")
+    try:
+        with open(path) as fh:
+            parsed = json.load(fh)
+    except Exception:  # noqa: BLE001
+        return None
+    ratios = {k: v.get("sharded_over_plain") for k, v in parsed.items()
+              if isinstance(v, dict) and "sharded_over_plain" in v}
+    return ratios or None
 
 
 _DRYRUN_CODE = """

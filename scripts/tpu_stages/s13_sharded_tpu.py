@@ -46,8 +46,13 @@ def log(m):
 def _timed(fn, *args):
     from zaftpu.utils.profiling import timed
 
-    _, stats = timed("s13", fn, *args, reps=3, dispatches=8, target_s=2.0,
-                     log=False)
+    # The parity-skipping bench tail uses lighter timing: the ratios it
+    # reports sit at ~1.0 with multi-ms device times, so 2 reps suffice
+    # and the saved minutes keep the step inside the bench tail budget.
+    light = os.environ.get("S13_SKIP_PARITY") == "1"
+    _, stats = timed("s13", fn, *args, reps=2 if light else 3,
+                     dispatches=6 if light else 8,
+                     target_s=1.2 if light else 2.0, log=False)
     return stats.seconds
 
 
@@ -66,6 +71,16 @@ def _np(x):
 
 def main():
     import jax
+
+    # Persistent compile cache (best-effort): repeated runs — e.g. the
+    # bench tail after a same-code standalone run — skip the ~4 min of
+    # fresh compiles that dominate this stage's wall time.
+    for k, v in (("jax_compilation_cache_dir", "/root/repo/.jax_cache"),
+                 ("jax_persistent_cache_min_compile_time_secs", 1.0)):
+        try:
+            jax.config.update(k, v)
+        except Exception:  # noqa: BLE001
+            pass
 
     if os.environ.get("S13_ALLOW_CPU") == "1":  # smoke-test mode
         jax.config.update("jax_platforms", "cpu")
@@ -96,27 +111,36 @@ def main():
 
     out = {"ok": True, "seconds_of_audio": SECS, "n_devices": 1}
 
+    skip_parity = os.environ.get("S13_SKIP_PARITY") == "1"
+
     def case(name, sharded_fn, plain_fn, frames, atol_scale=4e-6):
         """Run sharded + unsharded, record parity and relative throughput.
         A failing case fails the stage — every sharded program here must
-        compile and run on the chip."""
+        compile and run on the chip. ``S13_SKIP_PARITY=1`` (bench.py's
+        in-run ratio tail) skips the full-output parity fetches — hundreds
+        of MB through the tunnel — and records timings only; parity stays
+        gated by the standalone stage runs."""
         try:
-            got = _np(sharded_fn())
-            ref = _np(plain_fn())
-            err = float(np.max(np.abs(got - ref)))
-            tol = atol_scale * max(1.0, float(np.abs(ref).max()))
+            rec = {}
+            if not skip_parity:
+                got = _np(sharded_fn())
+                ref = _np(plain_fn())
+                err = float(np.max(np.abs(got - ref)))
+                tol = atol_scale * max(1.0, float(np.abs(ref).max()))
+                rec = {"max_abs_err": err, "parity_ok": bool(err <= tol)}
+                if err > tol:
+                    out["ok"] = False
             sec_sh = _timed(sharded_fn)
             sec_pl = _timed(plain_fn)
             out[name] = {
-                "max_abs_err": err,
-                "parity_ok": bool(err <= tol),
+                **rec,
                 "sharded_frames_per_s": round(frames / sec_sh, 1),
                 "plain_frames_per_s": round(frames / sec_pl, 1),
                 "sharded_over_plain": round(sec_pl / sec_sh, 3),
             }
-            if err > tol:
-                out["ok"] = False
-            log(f"{name}: err={err:.3g} sharded={frames / sec_sh:,.0f} fr/s "
+            err_txt = ("" if skip_parity
+                       else f"err={rec['max_abs_err']:.3g} ")
+            log(f"{name}: {err_txt}sharded={frames / sec_sh:,.0f} fr/s "
                 f"plain={frames / sec_pl:,.0f} fr/s")
         except Exception as exc:  # noqa: BLE001
             out["ok"] = False
