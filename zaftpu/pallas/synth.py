@@ -123,6 +123,15 @@ def wants_budget() -> bool:
     return enabled() and _pallas.enabled()
 
 
+def scoped_vmem_hint() -> bool:
+    """The zjit ``scoped_vmem`` predicate for every synthesis-containing
+    trace (single-device and sharded ISTFT/IMDCT cores): the default
+    split4-consumer predicate OR the synthesis kernel's budget need."""
+    from zaftpu.core.dispatch import _wants_scoped_vmem
+
+    return _wants_scoped_vmem() or wants_budget()
+
+
 def kernel_wanted(n: int, step: int, dtype, ndim: int, n_comp: int,
                   kpad: int) -> bool:
     """Full dispatch decision for the fused synthesis kernel: dispatch on

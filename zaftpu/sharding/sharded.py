@@ -423,11 +423,10 @@ _istft_prep = zjit(_istft_prep_ops,
 def _synth_wants_vmem():
     """Sharded synthesis zjit hint: raised scoped-VMEM twin whenever the
     fused synthesis kernel (or a split4 Pallas consumer) can enter the
-    trace."""
-    from zaftpu.core.dispatch import _wants_scoped_vmem
+    trace (pallas/synth.scoped_vmem_hint)."""
     from zaftpu.pallas import synth as _synth
 
-    return _wants_scoped_vmem() or _synth.wants_budget()
+    return _synth.scoped_vmem_hint()
 
 
 def _sharded_synthesis_fused(planes, window_length: int, step: int, mesh,

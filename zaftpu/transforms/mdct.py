@@ -164,10 +164,9 @@ def _imdct_ola(frames, f):
 
 
 def _imdct_synth_wants_vmem():
-    from zaftpu.core.dispatch import _wants_scoped_vmem
     from zaftpu.pallas import synth as _synth
 
-    return _wants_scoped_vmem() or _synth.wants_budget()
+    return _synth.scoped_vmem_hint()
 
 
 def _imdct_synth_kernel(coeffs, f: int) -> bool:

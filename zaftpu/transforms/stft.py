@@ -140,13 +140,9 @@ def stft(audio_signal, window_function=None, step_length: int | None = None,
 
 
 def _istft_wants_vmem():
-    """The fused synthesis kernel's two-component operator (~19 MB) needs
-    the raised scoped-VMEM twin; the split4 analysis consumers need it
-    independently (core/dispatch._wants_scoped_vmem)."""
-    from zaftpu.core.dispatch import _wants_scoped_vmem
     from zaftpu.pallas import synth as _synth
 
-    return _wants_scoped_vmem() or _synth.wants_budget()
+    return _synth.scoped_vmem_hint()
 
 
 @partial(zjit, static_argnames=("step_length", "gain"),
