@@ -76,3 +76,25 @@ def test_display_smoke(golden, signal):
     plt.clf()
     cqtchromshow(golden["cqtchromagram"], 25)
     plt.close("all")
+
+
+def test_asnumpy_complex_plane_fetch():
+    """zaftpu.asnumpy: complex device arrays fetch as (re, im) plane pairs
+    (complex transfers are unimplemented through remote-device tunnels);
+    real device arrays and host arrays pass through; dtypes preserved."""
+    import jax.numpy as jnp
+
+    import zaftpu
+
+    z64 = jnp.asarray(np.arange(6, dtype=np.float32)).astype(jnp.complex64)
+    z64 = z64 * (1 + 2j)
+    out = zaftpu.asnumpy(z64)
+    assert out.dtype == np.complex64
+    np.testing.assert_array_equal(out, np.arange(6, dtype=np.float32)
+                                  * np.complex64(1 + 2j))
+    z128 = jnp.asarray(np.arange(4, dtype=np.float64) + 1j)
+    assert zaftpu.asnumpy(z128).dtype == np.complex128
+    r = jnp.asarray(np.ones(3, np.float32))
+    np.testing.assert_array_equal(zaftpu.asnumpy(r), np.ones(3, np.float32))
+    host = np.arange(5) + 1j * np.arange(5)
+    np.testing.assert_array_equal(zaftpu.asnumpy(host), host)
