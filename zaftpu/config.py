@@ -140,6 +140,7 @@ class DispatchConfig:
     pallas: str = "auto"
     fused: str = ""
     fused2: str = ""
+    melfuse: str = ""
     fullspec: str = ""
     synth: str = ""
     sharded_fuse: str = ""
@@ -174,6 +175,7 @@ class DispatchConfig:
             pallas=os.environ.get("ZAFTPU_PALLAS", "auto"),
             fused=os.environ.get("ZAFTPU_FUSED", ""),
             fused2=os.environ.get("ZAFTPU_FUSED2", ""),
+            melfuse=os.environ.get("ZAFTPU_MELFUSE", ""),
             fullspec=os.environ.get("ZAFTPU_FULLSPEC", ""),
             synth=os.environ.get("ZAFTPU_SYNTH", ""),
             sharded_fuse=os.environ.get("ZAFTPU_SHARDED_FUSE", ""),

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zaftpu.core.dispatch import zjit
+from zaftpu.core import frame as _frame
 from zaftpu.core import policy as _policy
 from zaftpu.core import validate as _validate
 from zaftpu.pallas import guarded as _pallas_guarded
@@ -103,8 +104,45 @@ def dct_ii_ortho_matrix(size: int) -> np.ndarray:
     return mat
 
 
-@partial(zjit, static_argnames=("step_length",))
+def _mel_wants_vmem():
+    """The fused mel kernel's stacked two-component operator (~19 MB)
+    needs the raised twin in both precision modes."""
+    from zaftpu.core.dispatch import _wants_scoped_vmem
+    from zaftpu.pallas import melfused as _melfused
+
+    return _wants_scoped_vmem() or _melfused.wants_budget()
+
+
+def mel_rows_fused_or_none(audio_signal, window_function, fbank,
+                           step_length, power):
+    """Dispatch the single-pass mel front-end kernel
+    (pallas/melfused.py) when eligible; ``None`` selects the split
+    half-spectrum path. Shared by the plain cores and the sharded bodies
+    so sharded == single-device stays bit-identical."""
+    from zaftpu.core import fft as _fft
+    from zaftpu.pallas import melfused as _melfused
+
+    wl = window_function.shape[0]
+    if not (_fft.direct_engine_enabled(wl)
+            and fbank.dtype == jnp.float32
+            and _melfused.kernel_wanted(wl, step_length,
+                                        audio_signal.dtype,
+                                        audio_signal.ndim)):
+        return None
+    pad_front, pad_back, t = _frame.stft_padding(audio_signal.shape[-1],
+                                                 wl, step_length)
+    padded = jnp.pad(audio_signal, [(pad_front, pad_back)])
+    return _melfused.mel_rows(padded, window_function, fbank.T, wl,
+                              step_length, t, power)
+
+
+@partial(zjit, static_argnames=("step_length",),
+         scoped_vmem=_mel_wants_vmem)
 def _melspectrogram_core(audio_signal, window_function, fbank, step_length):
+    rows = mel_rows_fused_or_none(audio_signal, window_function, fbank,
+                                  step_length, power=False)
+    if rows is not None:
+        return jnp.swapaxes(rows, -1, -2)
     half = _stft_frames_half(audio_signal, window_function, step_length)
     mag = jnp.abs(half[..., 1:])  # (..., T, WL/2): DC dropped, Nyquist kept
     mel = _policy.mxu_matmul(mag, fbank.T)
@@ -161,12 +199,17 @@ def melspectrogram(audio_signal, window_function=None, step_length=None,
                                 step_length)
 
 
-@partial(zjit, static_argnames=("step_length", "number_coefficients"))
+@partial(zjit, static_argnames=("step_length", "number_coefficients"),
+         scoped_vmem=_mel_wants_vmem)
 def _mfcc_core(audio_signal, window_function, fbank, dct_mat, step_length,
                number_coefficients):
-    half = _stft_frames_half(audio_signal, window_function, step_length)
-    power = jnp.abs(half[..., 1:]) ** 2  # power spectrogram (zaf.py:437-439)
-    mel = _policy.mxu_matmul(power, fbank.T)
+    mel = mel_rows_fused_or_none(audio_signal, window_function, fbank,
+                                 step_length, power=True)
+    if mel is None:
+        half = _stft_frames_half(audio_signal, window_function,
+                                 step_length)
+        power = jnp.abs(half[..., 1:]) ** 2  # power spec (zaf.py:437-439)
+        mel = _policy.mxu_matmul(power, fbank.T)
     logmel = jnp.log(mel + jnp.asarray(_LOG_EPS, dtype=mel.dtype))
     cepstra = _policy.mxu_matmul(logmel, dct_mat.T)
     # Keep coefficients 1..C — the 0th is dropped (zaf.py:452).

@@ -542,9 +542,16 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
 # Mel features (sharded spectrogram + replicated filterbank matmuls)
 # ---------------------------------------------------------------------------
 
+def _mel_sharded_wants_vmem():
+    from zaftpu.features.mel import _mel_wants_vmem
+
+    return _mel_wants_vmem()
+
+
 @partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
                                    "pads", "power", "number_coefficients",
-                                   "number_times"))
+                                   "number_times"),
+         scoped_vmem=_mel_sharded_wants_vmem)
 def _mel_full_sharded(audio_signal, window_function, fbank_t, dct_t,
                       step_length, mesh, axis_name, pads, power,
                       number_coefficients, number_times=None):
@@ -578,7 +585,19 @@ def _mel_core_sharded(audio_signal, window_function, fbank_t, step_length,
     def block_fn(extended, t_local):
         if _mesh_on_tpu(mesh):
             from zaftpu import pallas as _pallas
+            from zaftpu.pallas import melfused as _melfused
 
+            # Same single-pass mel-front-end dispatch as the plain cores
+            # (features/mel.mel_rows_fused_or_none) so sharded values
+            # track single-device bit-for-bit.
+            if (_fft.direct_engine_enabled(wl)
+                    and fbank_t.dtype == jnp.float32
+                    and _melfused.kernel_wanted(wl, step_length,
+                                                extended.dtype,
+                                                extended.ndim)):
+                return _melfused.mel_rows(extended, window_function,
+                                          fbank_t, wl, step_length,
+                                          t_local, power)
             half = _pallas.windowed_frames_rfft(extended, window_function,
                                                 wl, step_length, t_local)
         else:
