@@ -82,3 +82,54 @@ def test_mel_dispatch_matches_split(monkeypatch):
     np.testing.assert_allclose(out_mel, ref_mel, atol=5e-6 * scale)
     # MFCCs pass through a log, compressing the scale; tolerance absolute.
     np.testing.assert_allclose(out_mfcc, ref_mfcc, atol=5e-4)
+
+
+@pytest.mark.parametrize("wl,step,t", [(2048, 1024, 37), (512, 256, 150)])
+def test_spec_rows_matches_split(wl, step, t, monkeypatch):
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    rng = np.random.default_rng(3)
+    padded = rng.standard_normal(t * step + wl - step).astype(np.float32)
+    win = hamming(wl).astype(np.float32)
+
+    from zaftpu.core import fft as cfft
+    from zaftpu.core import frame as cframe
+
+    frames = cframe.extract_frames(jnp.asarray(padded), wl, step, t)
+    half = cfft.rfft(frames * jnp.asarray(win))
+    ref = np.asarray(jnp.abs(half[:, 1:]))
+    out = np.asarray(pmelfused.spec_rows(
+        jnp.asarray(padded), jnp.asarray(win), wl, step, t,
+        interpret=True))
+    assert out.shape == ref.shape
+    tol = 3e-6 * max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(out, ref, atol=tol)
+
+
+def test_spectrogram_dispatch_matches_split(monkeypatch):
+    """Full spectrogram() through the one-pass magnitude kernel equals the
+    split path; sharded stays value-aligned at 1/4 shards."""
+    import jax
+
+    from zaftpu.sharding import make_mesh, spectrogram_sharded
+    from zaftpu.sharding import sharded as _sharded
+    from zaftpu.transforms.stft import spectrogram
+
+    monkeypatch.setenv("ZAFTPU_FFT", "matmul")
+    rng = np.random.default_rng(4)
+    sig = rng.standard_normal(50000).astype(np.float32)
+    win = hamming(512).astype(np.float32)
+    ref = np.asarray(spectrogram(sig, win, 256))
+    monkeypatch.setattr(
+        pmelfused, "spec_rows",
+        functools.partial(pmelfused.spec_rows, interpret=True))
+    monkeypatch.setenv("ZAFTPU_PALLAS", "1")
+    monkeypatch.setenv("ZAFTPU_MELFUSE", "1")
+    out = np.asarray(spectrogram(sig, win, 256))
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(out, ref, atol=5e-6 * scale)
+    if len(jax.devices()) >= 4:
+        monkeypatch.setattr(_sharded, "_mesh_on_tpu", lambda mesh: True)
+        for size in (1, 4):
+            mesh = make_mesh(size)
+            sh = np.asarray(spectrogram_sharded(sig, win, 256, mesh))
+            np.testing.assert_allclose(sh, out, atol=5e-6 * scale)

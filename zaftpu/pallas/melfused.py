@@ -178,6 +178,88 @@ def _epilogue(re, im, power: bool, half: int, fb_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
+def _kernel_spec(k: int, block: int, precision, half: int, sig_ref,
+                 win_ref, op_ref, out_ref, seg, frames, sem):
+    """Spectrogram variant: write ``|X|`` over bins 1..WL/2 directly —
+    the reference's universal analysis slice (zaf.py:370) without the
+    half-spectrum plane round trip."""
+    _frame_block(k, block, sig_ref, win_ref, seg, frames, sem)
+
+    def dot(op):
+        return jax.lax.dot_general(
+            frames[:, :], op,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+
+    re = dot(op_ref[0])
+    im = dot(op_ref[1])
+    out_ref[:, :] = jnp.sqrt(re[:, 1:half] * re[:, 1:half]
+                             + im[:, 1:half] * im[:, 1:half])
+
+
+def _spec_rows_impl(padded, window, ops, window_length: int, step: int,
+                    number_times: int, precision,
+                    block_frames: int = BLOCK_FRAMES,
+                    interpret: bool = False):
+    """``(T, WL/2)`` magnitude-spectrogram rows in one HBM pass (exact
+    scheme only — the split4 gate in :func:`kernel_wanted` applies)."""
+    k = window_length // step
+    half = window_length // 2 + 1
+    block = min(block_frames, -(-number_times // 8) * 8)
+    t_pad = block * (-(-number_times // block))
+    rows = t_pad - block + _read_rows(block, k)
+    need = rows * step
+    padded = padded[:need]
+    if padded.shape[0] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[0]))
+    sig2d = padded.reshape(rows, step)
+    win2d = window.reshape(k, step).astype(padded.dtype)
+    f_pad = ops.shape[-1]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_spec, k, block, precision, half),
+        grid=(t_pad // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k, step), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, window_length, f_pad), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, half - 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, half - 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_read_rows(block, k), step), padded.dtype),
+            pltpu.VMEM((block, window_length), padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sig2d, win2d, ops)
+    return out[:number_times]
+
+
+spec_rows_jit = jax.jit(
+    _spec_rows_impl,
+    static_argnames=("window_length", "step", "number_times", "precision",
+                     "block_frames", "interpret"))
+
+
+def spec_rows(padded, window, window_length: int, step: int,
+              number_times: int, interpret: bool = False):
+    """Fused magnitude spectrogram front: ``(T, WL/2)`` rows over bins
+    ``1..WL/2`` (zaf.py:370 slice semantics). Exact scheme only — callers
+    gate with :func:`kernel_wanted`."""
+    from zaftpu.core.policy import matmul_precision
+    from zaftpu.utils.devcache import pinned_device_constant
+
+    ops = pinned_device_constant(_rdft_ops_padded(window_length),
+                                 np.float32)
+    return spec_rows_jit(padded, window, ops, window_length, step,
+                         number_times, matmul_precision(),
+                         block_frames=_block_frames(), interpret=interpret)
+
+
 def _mel_rows_impl(padded, window, ops, fbank_pad, window_length: int,
                    step: int, number_times: int, precision, power: bool,
                    block_frames: int = BLOCK_FRAMES,

@@ -48,6 +48,14 @@ from zaftpu.transforms.mdct import (_direct_forward_matrix,
                                     _forward_twiddles, _inverse_twiddles)
 
 
+def _mel_sharded_wants_vmem():
+    """zjit hint for traces that can contain the fused mel/spectrogram
+    front-end kernel (features/mel._mel_wants_vmem)."""
+    from zaftpu.features.mel import _mel_wants_vmem
+
+    return _mel_wants_vmem()
+
+
 def _batch_spec(mesh, n_batch_dims: int):
     """Leading-axis partition entries: dim 0 rides the mesh's batch axis."""
     if n_batch_dims == 0:
@@ -247,13 +255,50 @@ def _stft_body(audio_signal, window_function, step_length, mesh,
     planes, or the magnitude ``(t_pad, WL/2)`` when ``magnitude``. Shared
     verbatim by the fused single-program mode and the split bucketed mode
     (:func:`_fuse_enabled`), so the two are bit-identical."""
+    if magnitude:
+        return _spectrogram_body_sharded(audio_signal, window_function,
+                                         step_length, mesh, axis_name,
+                                         pads)
     half = _stft_half_sharded(audio_signal, window_function, step_length,
                               mesh, axis_name, pads)
-    if magnitude:
-        return jnp.abs(half[..., 1:])
     # real()/imag() of the upstream lax.complex fuse away on the engine
     # path — the half spectrum is never materialized as complex.
     return jnp.real(half), jnp.imag(half)
+
+
+def _spectrogram_body_sharded(audio_signal, window_function, step_length,
+                              mesh, axis_name, pads):
+    """Magnitude body: per-shard one-pass |X| emission via the
+    melfused.spec_rows kernel when the single-device spectrogram
+    dispatches it (bit-identity), else the windowed-rfft + abs program
+    (abs is elementwise, so folding it into the shard_map body is
+    value-identical to the former outside-shard_map formulation)."""
+    pad_front, body_len, _ = pads
+    n = audio_signal.shape[-1]
+    body = _pad_last(audio_signal, pad_front, body_len - pad_front - n)
+    wl = window_function.shape[0]
+
+    def block_fn(extended, t_local):
+        if _mesh_on_tpu(mesh):
+            from zaftpu import pallas as _pallas
+            from zaftpu.pallas import melfused as _melfused
+
+            if (_fft.direct_engine_enabled(wl)
+                    and _melfused.kernel_wanted(wl, step_length,
+                                                extended.dtype,
+                                                extended.ndim)):
+                return _melfused.spec_rows(extended, window_function, wl,
+                                           step_length, t_local)
+            half = _pallas.windowed_frames_rfft(extended, window_function,
+                                                wl, step_length, t_local)
+        else:
+            frames = _frame.extract_frames(extended, wl, step_length,
+                                           t_local)
+            half = _fft.rfft(frames * window_function.astype(frames.dtype))
+        return jnp.abs(half[..., 1:])
+
+    return _sharded_analysis(body, wl, step_length, block_fn, mesh,
+                             axis_name)
 
 
 # Split-mode body (bucketed): this trace serves every signal length in a
@@ -265,11 +310,13 @@ def _stft_body(audio_signal, window_function, step_length, mesh,
 # docs/tpu_results/sharded_breakdown.json).
 _stft_full_sharded = zjit(_stft_body,
                           static_argnames=("step_length", "mesh",
-                                           "axis_name", "pads", "magnitude"))
+                                           "axis_name", "pads", "magnitude"),
+                          scoped_vmem=_mel_sharded_wants_vmem)
 
 
 @partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
-                                   "pads", "magnitude", "number_times"))
+                                   "pads", "magnitude", "number_times"),
+         scoped_vmem=_mel_sharded_wants_vmem)
 def _stft_fused(audio_signal, window_function, step_length, mesh,
                 axis_name, pads, magnitude, number_times):
     """Fused single-program sharded STFT/spectrogram: body + finish in ONE
@@ -541,12 +588,6 @@ def istft_sharded(audio_stft, window_function, step_length: int, mesh,
 # ---------------------------------------------------------------------------
 # Mel features (sharded spectrogram + replicated filterbank matmuls)
 # ---------------------------------------------------------------------------
-
-def _mel_sharded_wants_vmem():
-    from zaftpu.features.mel import _mel_wants_vmem
-
-    return _mel_wants_vmem()
-
 
 @partial(zjit, static_argnames=("step_length", "mesh", "axis_name",
                                    "pads", "power", "number_coefficients",

@@ -192,8 +192,32 @@ def istft(audio_stft, window_function=None, step_length: int | None = None,
     return _istft_core(audio_stft, step_length, gain)
 
 
-@partial(zjit, static_argnames=("step_length",))
+def _spec_wants_vmem():
+    from zaftpu.pallas import melfused as _melfused
+
+    from zaftpu.core.dispatch import _wants_scoped_vmem
+
+    return _wants_scoped_vmem() or _melfused.wants_budget()
+
+
+@partial(zjit, static_argnames=("step_length",),
+         scoped_vmem=_spec_wants_vmem)
 def _spectrogram_core(audio_signal, window_function, step_length):
+    from zaftpu.pallas import melfused as _melfused
+
+    wl = window_function.shape[0]
+    if (_fft.direct_engine_enabled(wl)
+            and _melfused.kernel_wanted(wl, step_length,
+                                        audio_signal.dtype,
+                                        audio_signal.ndim)):
+        # One-pass magnitude emission (pallas/melfused.spec_rows): the
+        # half-spectrum planes never round-trip HBM.
+        pad_front, pad_back, t = _frame.stft_padding(
+            audio_signal.shape[-1], wl, step_length)
+        padded = jnp.pad(audio_signal, [(pad_front, pad_back)])
+        spec = _melfused.spec_rows(padded, window_function, wl,
+                                   step_length, t)
+        return jnp.swapaxes(spec, -1, -2)
     half = _stft_frames_half(audio_signal, window_function, step_length)
     return jnp.swapaxes(jnp.abs(half[..., 1:]), -1, -2)
 
